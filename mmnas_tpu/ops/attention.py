@@ -1,0 +1,51 @@
+"""Scaled-dot-product attention core, shared by SA / RSA / GA / UniimgAtt.
+
+The default path is plain jnp (XLA fuses it well at these sizes); a fused
+Pallas TPU kernel (mmnas_tpu.ops.pallas_attention) is dispatched for the
+padded-tile shapes used by the models when enabled.
+
+Reference semantics (mmnas/model/modules.py:191-199, :233-240):
+    scores = q @ k^T / sqrt(d_k)
+    scores = scores + log(clamp(rel_bias, min=1e-6))   # RSA only
+    scores = masked_fill(mask, -1e9)
+    att    = dropout(softmax(scores))
+    out    = att @ v
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from mmnas_tpu.ops import primitives as P
+
+# toggled by mmnas_tpu.ops.pallas_attention.enable() / tests
+_USE_PALLAS = False
+
+
+def use_pallas(flag: bool):
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *,
+                         dropout_r: float = 0.0, train: bool = False, rng=None):
+    """q,k,v: [B, H, Lq|Lk, D]; mask: [B, 1, 1, Lk] bool (True = pad);
+    log_bias: [B, H, Lq, Lk] additive pre-softmax bias (already logged)."""
+    if _USE_PALLAS and not (train and dropout_r > 0.0):
+        from mmnas_tpu.ops import pallas_attention
+        out = pallas_attention.try_fused_attention(q, k, v, mask, log_bias)
+        if out is not None:
+            return out
+
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
+    if log_bias is not None:
+        scores = scores + log_bias
+    scores = P.mask_scores(scores, mask)
+    att = jax.nn.softmax(scores, axis=-1)
+    if train and dropout_r > 0.0:
+        att = P.dropout(rng, att, dropout_r, train)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)

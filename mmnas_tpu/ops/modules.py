@@ -1,0 +1,320 @@
+"""The candidate-operator library (TPU-native rebuild of mmnas/model/modules.py).
+
+Every op is exposed as a factory `(cfg, norm, residual, **kw) -> Op`, where
+`Op.init(key) -> params` and
+`Op.apply(params, x, y, x_mask, y_mask, rel_embed, train, rngs) -> x'`.
+
+The uniform 5-ary signature mirrors the reference op contract
+(modules.py:92 et al.): `x` is the stream being transformed, `y` the other
+modality (for guided / uni-image attention), masks are [B,1,1,L] booleans
+(True = padded), `rel_embed` is the relation tensor after the stem
+projection+ReLU ([B, Lx, Lx, REL_SIZE]).
+
+Residual + LayerNorm placement matches the reference exactly:
+    x_att = dropout(op_core(x)); x = x + x_att (if residual); x = LN(x) (if norm)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mmnas_tpu.ops import primitives as P
+from mmnas_tpu.ops.attention import scaled_dot_attention
+
+
+@dataclass(frozen=True)
+class OpCfg:
+    """Static op-level hyperparameters (subset of the reference `__C`)."""
+    hsize: int = 512
+    dropout_r: float = 0.1
+    rel_size: int = 64
+    attflat_glimpses: int = 1
+    attflat_out_size: int = 1024
+    attflat_mlp_size: int = 512
+
+
+class Op(NamedTuple):
+    name: str
+    init: Callable  # key -> params
+    apply: Callable  # (params, x, y, x_mask, y_mask, rel, train, rngs) -> out
+
+
+def _wrap_norm_residual(cfg: OpCfg, norm: bool, residual: bool, core_apply):
+    """Apply dropout -> residual -> layernorm around a core fn.
+
+    core_apply(params, x, y, x_mask, y_mask, rel, train, rngs) -> x_att
+    (dropout of the core output is handled here; reference pattern at
+    modules.py:260-270.)
+    """
+
+    def apply(params, x, y, x_mask, y_mask, rel, train, rngs):
+        x_att = core_apply(params["core"], x, y, x_mask, y_mask, rel, train, rngs)
+        x_att = P.dropout(rngs(), x_att, cfg.dropout_r, train)
+        out = x + x_att if residual else x_att
+        if norm:
+            out = P.layernorm(params["ln"], out)
+        return out
+
+    return apply
+
+
+def _with_ln(norm: bool, cfg: OpCfg, core_init):
+    def init(key):
+        p = {"core": core_init(key)}
+        if norm:
+            p["ln"] = P.layernorm_init(cfg.hsize)
+        return p
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# multi-head attention cores (reference modules.py:158-245)
+# ---------------------------------------------------------------------------
+
+def _mhatt_init(key, cfg: OpCfg, base: int, hsize_k):
+    inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
+    assert inside % base == 0
+    kv, kk, kq, km = jax.random.split(key, 4)
+    return {
+        "wv": P.linear_init(kv, cfg.hsize, inside, bias=False),
+        "wk": P.linear_init(kk, cfg.hsize, inside, bias=False),
+        "wq": P.linear_init(kq, cfg.hsize, inside, bias=False),
+        "wm": P.linear_init(km, inside, cfg.hsize, bias=False),
+    }
+
+
+def _split_heads(t, n_heads, base):
+    B, L, _ = t.shape
+    return t.reshape(B, L, n_heads, base).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t):
+    B, H, L, D = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+
+
+def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
+                 log_bias=None):
+    inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
+    n_heads = inside // base
+    vh = _split_heads(P.linear(p["wv"], v), n_heads, base)
+    kh = _split_heads(P.linear(p["wk"], k), n_heads, base)
+    qh = _split_heads(P.linear(p["wq"], q), n_heads, base)
+    atted = scaled_dot_attention(qh, kh, vh, mask, log_bias,
+                                 dropout_r=cfg.dropout_r, train=train, rng=rngs())
+    return P.linear(p["wm"], _merge_heads(atted))
+
+
+def _rel_mhatt_init(key, cfg: OpCfg, base: int, hsize_k):
+    inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
+    n_heads = inside // base
+    k1, k2 = jax.random.split(key)
+    p = _mhatt_init(k1, cfg, base, hsize_k)
+    p["wr"] = P.linear_init(k2, cfg.rel_size, n_heads, bias=True)
+    return p
+
+
+def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
+                     train, rngs):
+    """RSA score bias: log(clamp(relu(W_r rel), 1e-6)) (modules.py:231-235)."""
+    assert rel is not None
+    r = jax.nn.relu(P.linear(p["wr"], rel))          # [B, L, L, H]
+    r = jnp.transpose(r, (0, 3, 1, 2))               # [B, H, L, L]
+    log_bias = jnp.log(jnp.clip(r, min=1e-6))
+    return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train, rngs,
+                        log_bias=log_bias)
+
+
+# ---------------------------------------------------------------------------
+# candidate ops
+# ---------------------------------------------------------------------------
+
+def self_att(cfg, norm, residual, base=64, hsize_k=None):
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        return _mhatt_apply(p, cfg, base, hsize_k, x, x, x, xm, train, rngs)
+
+    return Op(f"self_att_{base}",
+              _with_ln(norm, cfg, lambda k: _mhatt_init(k, cfg, base, hsize_k)),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def rel_self_att(cfg, norm, residual, base=64, hsize_k=None):
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        return _rel_mhatt_apply(p, cfg, base, hsize_k, x, x, x, xm, rel, train, rngs)
+
+    return Op(f"rel_self_att_{base}",
+              _with_ln(norm, cfg, lambda k: _rel_mhatt_init(k, cfg, base, hsize_k)),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def guided_att(cfg, norm, residual, base=64, hsize_k=None):
+    """Cross-attention x <- y: mhatt(v=y, k=y, q=x, mask=y_mask) (modules.py:315)."""
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        assert y is not None
+        return _mhatt_apply(p, cfg, base, hsize_k, y, y, x, ym, train, rngs)
+
+    return Op(f"guided_att_{base}",
+              _with_ln(norm, cfg, lambda k: _mhatt_init(k, cfg, base, hsize_k)),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def uniimg_att(cfg, norm, residual, base=64, hsize_k=None):
+    """Attend x over concat(x, y); NOTE: no mask, as in the reference
+    (modules.py:417-418)."""
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        assert y is not None
+        xy = jnp.concatenate((x, y), axis=1)
+        return _mhatt_apply(p, cfg, base, hsize_k, xy, xy, x, None, train, rngs)
+
+    return Op(f"uniimg_att_{base}",
+              _with_ln(norm, cfg, lambda k: _mhatt_init(k, cfg, base, hsize_k)),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def feed_forward(cfg, norm, residual, mid_k=None):
+    mid = cfg.hsize * mid_k if mid_k else cfg.hsize * 4
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        return P.mlp(p, x, rngs(), cfg.dropout_r, True, train)
+
+    return Op("feed_forward",
+              _with_ln(norm, cfg, lambda k: P.mlp_init(k, cfg.hsize, mid, cfg.hsize)),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def feed_forward_deep(cfg, norm, residual, mid_k=None):
+    mid = cfg.hsize * mid_k if mid_k else cfg.hsize * 2
+
+    def init_core(key):
+        k1, k2 = jax.random.split(key)
+        return {"fc": P.fc_init(k1, cfg.hsize, mid),
+                "mlp": P.mlp_init(k2, mid, mid, cfg.hsize)}
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        h = P.fc(p["fc"], x, rngs(), cfg.dropout_r, True, train)
+        return P.mlp(p["mlp"], h, rngs(), cfg.dropout_r, True, train)
+
+    return Op("feed_forward_deep", _with_ln(norm, cfg, init_core),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def _gated_linear_init(key, in_size, out_size):
+    return P.linear_init(key, in_size, out_size * 2)
+
+
+def _gated_linear(p, x):
+    a, b = jnp.split(P.linear(p, x), 2, axis=-1)
+    return a * jax.nn.sigmoid(b)
+
+
+def glu(cfg, norm, residual, layers=1):
+    """Gated-linear op (modules.py:122-155). layers in {1, 2}."""
+    assert layers in (1, 2)
+
+    def init_core(key):
+        if layers == 1:
+            return {"unit": _gated_linear_init(key, cfg.hsize, cfg.hsize)}
+        k0, k1 = jax.random.split(key)
+        return {"unit_0": _gated_linear_init(k0, cfg.hsize, cfg.hsize * 2),
+                "unit_1": _gated_linear_init(k1, cfg.hsize * 2, cfg.hsize)}
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        if layers == 1:
+            return _gated_linear(p["unit"], x)
+        h = jax.nn.relu(_gated_linear(p["unit_0"], x))
+        h = P.dropout(rngs(), h, cfg.dropout_r, train)
+        return _gated_linear(p["unit_1"], h)
+
+    return Op(f"gated_linear_{layers}", _with_ln(norm, cfg, init_core),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def sep_conv(cfg, norm, residual, k=3):
+    """Depthwise + pointwise Conv1d (modules.py:431-462)."""
+
+    def init_core(key):
+        kd, kp = jax.random.split(key)
+        return {"dw": P.conv1d_init(kd, cfg.hsize, cfg.hsize, k, groups=cfg.hsize),
+                "pw": P.conv1d_init(kp, cfg.hsize, cfg.hsize, 1)}
+
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        return P.conv1d(p["pw"], P.conv1d(p["dw"], x, groups=cfg.hsize))
+
+    return Op(f"sep_conv_{k}", _with_ln(norm, cfg, init_core),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+def std_conv(cfg, norm, residual, k=3):
+    def core(p, x, y, xm, ym, rel, train, rngs):
+        return P.conv1d(p["conv"], x)
+
+    return Op(f"std_conv_{k}",
+              _with_ln(norm, cfg, lambda key: {"conv": P.conv1d_init(key, cfg.hsize, cfg.hsize, k)}),
+              _wrap_norm_residual(cfg, norm, residual, core))
+
+
+# --- parameter-free ops -----------------------------------------------------
+
+def _no_params(key):
+    return {}
+
+
+def zero(cfg, norm, residual):
+    """'none' op: x * 0 (modules.py:96-101). No residual/norm wrapper in the
+    reference either (it is constructed with the flags but they are unused
+    since Zero has no wrapper)."""
+    return Op("none", _no_params,
+              lambda p, x, y, xm, ym, rel, train, rngs: x * 0.0)
+
+
+def identity(cfg, norm, residual):
+    return Op("skip_connect", _no_params,
+              lambda p, x, y, xm, ym, rel, train, rngs: x)
+
+
+def relu_op(cfg, norm, residual):
+    return Op("relu", _no_params,
+              lambda p, x, y, xm, ym, rel, train, rngs: jax.nn.relu(x))
+
+
+def gelu_op(cfg, norm, residual):
+    return Op("gelu", _no_params,
+              lambda p, x, y, xm, ym, rel, train, rngs: P.gelu_tanh(x))
+
+
+def leakyrelu_op(cfg, norm, residual):
+    return Op("leakyrelu", _no_params,
+              lambda p, x, y, xm, ym, rel, train, rngs: jax.nn.leaky_relu(x, 0.01))
+
+
+# ---------------------------------------------------------------------------
+# AttFlat head (reference modules.py:59-85) — not a candidate op
+# ---------------------------------------------------------------------------
+
+def attflat_init(key, cfg: OpCfg):
+    k1, k2 = jax.random.split(key)
+    return {
+        "mlp": P.mlp_init(k1, cfg.hsize, cfg.attflat_mlp_size, cfg.attflat_glimpses),
+        "merge": P.linear_init(k2, cfg.hsize * cfg.attflat_glimpses, cfg.attflat_out_size),
+    }
+
+
+def attflat(p, cfg: OpCfg, x, x_mask, train, rngs):
+    """Attention-pooling over L: [B, L, H] -> [B, ATTFLAT_OUT_SIZE]."""
+    att = P.mlp(p["mlp"], x, rngs(), cfg.dropout_r, True, train)  # [B, L, G]
+    if x_mask is not None:
+        pad = x_mask[:, 0, 0, :, None]  # [B, L, 1]
+        att = jnp.where(pad, jnp.asarray(P.MASK_FILL, att.dtype), att)
+    att = jax.nn.softmax(att, axis=1)
+    # glimpse-weighted sums, concatenated (modules.py:79-82)
+    x_atted = jnp.einsum("blg,blh->bgh", att, x)
+    x_atted = x_atted.reshape(x.shape[0], -1)
+    return P.linear(p["merge"], x_atted)
