@@ -1,0 +1,182 @@
+"""Configuration system (TPU rebuild of the reference `Cfg` god-objects).
+
+The reference builds a per-task `Cfg(Path)` object holding every
+hyperparameter (train_vqa.py:82-191, search_vqa.py:42-167, train_vgd.py:92-,
+train_itm.py:83-). Here the same surface is a plain dataclass so it can be
+threaded through jitted functions as static metadata. Field names keep the
+reference's UPPER_CASE spelling so configs read identically across repos.
+
+Only fields that affect the TPU build are kept; CUDA/NCCL plumbing fields
+(N_GPU, DEVICE_IDS, MASTER_PORT...) are replaced by the mesh config in
+mmnas_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import random
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class Cfg:
+    """Shared hyperparameters (defaults = reference VQA train config,
+    train_vqa.py:120-186)."""
+
+    TASK: str = "vqa"                 # vqa | vgd | itm
+    RUN_MODE: str = "train"           # train | val | test
+    VERSION: str = "train"
+    SEED: int = 888
+    DEBUG: bool = False
+
+    # data
+    BATCH_SIZE: int = 64
+    EVAL_BATCH_SIZE: int = 64
+    NUM_WORKERS: int = 4
+    TRAIN_SPLIT: str = "train"
+    DATASET: str = ""                 # task-specific (vgd: refcoco..., itm: flickr)
+    FEAT: str = ""                    # vgd feature mode (vg_woref | coco_mrcn)
+    DATA_ROOT: str = "./data"
+    SYNTH: bool = False               # synthetic data mode (no datasets on disk)
+    SYNTH_SIZE: int = 512             # synthetic dataset length
+
+    # features / embeddings (train_vqa.py:136-142)
+    BBOX_FEATURE: bool = False
+    FRCNFEAT_LEN: int = 100
+    FRCNFEAT_SIZE: int = 2048
+    BBOXFEAT_EMB_SIZE: int = 2048
+    GLOVE_FEATURE: bool = True
+    WORD_EMBED_SIZE: int = 300
+    REL_SIZE: int = 64
+    MAX_TOKEN: int = 14               # vqa 14 / vgd 15 / itm 50
+
+    # network (train_vqa.py:144-154)
+    LAYERS: int = 1
+    HSIZE: int = 512
+    DROPOUT_R: float = 0.1
+    OPS_RESIDUAL: bool = True
+    OPS_NORM: bool = True
+    ATTFLAT_GLIMPSES: int = 1
+    ATTFLAT_OUT_SIZE: int = 1024      # HSIZE * 2
+    ATTFLAT_MLP_SIZE: int = 512
+
+    # optimizer (train_vqa.py:156-185): 'wadam' = Adam + step warmup
+    NET_OPTIM: str = "wadam"
+    REDUCTION: str = "sum"
+    NET_OPTIM_WARMUP: bool = True
+    NET_LR_BASE: float = 0.00012
+    NET_WEIGHT_DECAY: float = 0.0
+    NET_GRAD_CLIP: float = 1.0        # -1 disables
+    NET_LR_DECAY_R: float = 0.2
+    NET_LR_DECAY_LIST: Sequence[int] = (10, 12)
+    OPT_BETAS: Tuple[float, float] = (0.9, 0.98)
+    OPT_EPS: float = 1e-9
+    MAX_EPOCH: int = 13
+
+    # vgd loss (train_vgd.py Cfg): 'kld' target distribution or 'bce'
+    SCORES_LOSS: str = "kld"
+
+    # genotype (fixed-arch runs)
+    ARCH_PATH: str = "./arch/mcan.json"
+    GENO_EPOCH: int = 0
+
+    # checkpointing
+    RESUME: bool = False
+    CKPT_FILE_PATH: Optional[str] = None
+    CKPT_ROOT: str = "./logs/ckpts/"
+    LOG_ROOT: str = "./logs/log/"
+
+    # TPU execution
+    N_DEVICES: int = 0                # 0 = all visible devices
+    DTYPE: str = "float32"            # compute dtype for activations
+    USE_PALLAS: bool = False          # fused attention kernels
+    EVAL_EVERY_EPOCH: bool = True
+    STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class SearchCfg(Cfg):
+    """Supernet-search hyperparameters (search_vqa.py:42-167 defaults)."""
+
+    HSIZE: int = 256
+    ATTFLAT_OUT_SIZE: int = 512       # HSIZE * 2
+    NODES: Sequence[Tuple[str, int]] = (("enc", 12), ("dec", 18))
+    SPLIT_PORTION: float = 0.8        # train/arch bilevel split
+    NET_LR_BASE: float = 0.0004
+    NET_LR_DECAY_LIST: Sequence[int] = ()
+    MAX_EPOCH: int = 100
+    ALPHA_START: int = 20             # first epoch with arch steps
+    ALPHA_EVERY: int = 5              # arch step every N weight steps
+    ALPHA_BINARY_MODE: str = "full"
+    ALPHA_LR_BASE: float = 0.1
+    ALPHA_WEIGHT_DECAY: float = 0.0
+    ALPHA_INIT_TYPE: str = "normal"
+    ALPHA_OPT_BETAS: Tuple[float, float] = (0.0, 0.999)
+    GENOTYPES_K: int = 1
+
+
+# ---------------------------------------------------------------------------
+# argparse parity (train_vqa.py:23-79). Train scripts share this surface; the
+# reference search scripts take no CLI args (module constants) but we expose
+# the same parser for them as a usability fix (SURVEY.md §5 config tiers).
+# ---------------------------------------------------------------------------
+
+def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"mmnas_tpu {task} args")
+    p.add_argument("--RUN", dest="RUN_MODE", default="train",
+                   choices=["train", "val", "test"], type=str)
+    p.add_argument("--SPLIT", dest="TRAIN_SPLIT", default="train", type=str)
+    p.add_argument("--BS", dest="BATCH_SIZE", default=64, type=int)
+    p.add_argument("--NW", dest="NUM_WORKERS", default=4, type=int)
+    p.add_argument("--ARCH_PATH", dest="ARCH_PATH",
+                   default="./arch/mcan.json", type=str)
+    p.add_argument("--GENO_EPOCH", dest="GENO_EPOCH", default=0, type=int)
+    p.add_argument("--GPU", dest="GPU", default="0", type=str,
+                   help="kept for reference-CLI parity; on TPU use --NDEV")
+    p.add_argument("--NDEV", dest="N_DEVICES", default=0, type=int,
+                   help="devices in the data mesh (0 = all)")
+    p.add_argument("--SEED", dest="SEED", default=None, type=int)
+    p.add_argument("--VERSION", dest="VERSION", default=f"{'search' if search else 'train'}_{task}", type=str)
+    p.add_argument("--RESUME", dest="RESUME", default=False, action="store_true")
+    p.add_argument("--CKPT_PATH", dest="CKPT_FILE_PATH", type=str)
+    p.add_argument("--DATA_ROOT", dest="DATA_ROOT", default="./data", type=str)
+    p.add_argument("--SYNTH", dest="SYNTH", default=False, action="store_true",
+                   help="synthetic fixed-shape data (no dataset required)")
+    p.add_argument("--SYNTH_SIZE", dest="SYNTH_SIZE", default=512, type=int)
+    p.add_argument("--MAX_EPOCH", dest="MAX_EPOCH", default=0, type=int,
+                   help="override config MAX_EPOCH (0 = default)")
+    p.add_argument("--USE_PALLAS", dest="USE_PALLAS", default=False,
+                   action="store_true")
+    if task == "vgd":
+        p.add_argument("--DATASET", dest="DATASET", default="refcoco",
+                       choices=["refcoco", "refcoco+", "refcocog"], type=str)
+        p.add_argument("--FEAT", dest="FEAT", default="vg_woref",
+                       choices=["vg_woref", "coco_mrcn"], type=str)
+    if task == "itm":
+        p.add_argument("--DATASET", dest="DATASET", default="flickr", type=str)
+    return p
+
+
+def cfg_from_args(task: str, args, search: bool = False) -> Cfg:
+    cls = SearchCfg if search else Cfg
+    cfg = cls(TASK=task)
+    if task == "vgd":
+        cfg = cfg.replace(MAX_TOKEN=15)
+    elif task == "itm":
+        cfg = cfg.replace(MAX_TOKEN=50)
+    overrides = {}
+    for f in dataclasses.fields(cls):
+        if hasattr(args, f.name) and getattr(args, f.name) is not None:
+            overrides[f.name] = getattr(args, f.name)
+    if getattr(args, "SEED", None) is None:
+        overrides["SEED"] = random.randint(0, 9999)  # train_vqa.py:102-105
+    if getattr(args, "MAX_EPOCH", 0) in (0, None):
+        overrides.pop("MAX_EPOCH", None)
+    cfg = cfg.replace(**overrides)
+    suffix = "-search" if search else "-full"
+    return cfg.replace(VERSION=cfg.VERSION + suffix)

@@ -1,0 +1,205 @@
+"""Fixed-architecture nets (TPU rebuild of mmnas/model/full_{vqa,vgd,itm}.py).
+
+One `NetFull` class covers all three tasks; they share the whole trunk
+(GloVe embedding -> LSTM text encoder, image-feature projection, genotype-
+defined encoder/decoder cells, relation-embedding stem) and differ only in
+the output head (reference diff between full_vqa.py / full_vgd.py:76-114 /
+full_itm.py:81-112).
+
+Everything is pure-functional: `NetFull` holds only *static* structure (op
+closures built from the genotype, shapes); parameters live in a plain dict
+pytree returned by `init` and threaded through `apply`. A whole train step
+jits into a single XLA program with static shapes.
+
+Task heads:
+  vqa: AttFlat(x) + AttFlat(y) -> LN -> proj[ans_size] logits
+       (full_vqa.py:105-111)
+  vgd: AttFlat(x)[:,None] + Linear(y) -> LN -> (proj_scores[1] (+log_softmax
+       when SCORES_LOSS='kld'), proj_reg[4]) per region (full_vgd.py:104-114)
+  itm: AttFlat(x) + AttFlat(y) -> LN -> proj[1] -> sigmoid scalar score
+       (full_itm.py:108-112)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmnas_tpu.genotype import Genotype
+from mmnas_tpu.ops import primitives as P
+from mmnas_tpu.ops.modules import OpCfg, attflat, attflat_init
+from mmnas_tpu.ops.registry import OPS_ADAPTER, make_op
+
+
+def op_cfg_from(cfg) -> OpCfg:
+    return OpCfg(
+        hsize=cfg.HSIZE,
+        dropout_r=cfg.DROPOUT_R,
+        rel_size=cfg.REL_SIZE,
+        attflat_glimpses=cfg.ATTFLAT_GLIMPSES,
+        attflat_out_size=cfg.ATTFLAT_OUT_SIZE,
+        attflat_mlp_size=cfg.ATTFLAT_MLP_SIZE,
+    )
+
+
+class NetFull:
+    """Genotype-defined multimodal encoder-decoder net.
+
+    batch dict keys (fixed shapes, SURVEY.md §2.3 data contracts):
+      frcn_feat [B, FRCNFEAT_LEN, FRCNFEAT_SIZE]  region features
+      bbox_feat [B, FRCNFEAT_LEN, 5]              normalized boxes (optional use)
+      rel_img   [B, L_img, L_img, 4]              geometry relation tensor
+      ques_ix   [B, MAX_TOKEN] int32              token ids (0 = PAD)
+      rel_ques  [B, MAX_TOKEN, MAX_TOKEN, 3]      semantic relation tensor
+    """
+
+    def __init__(self, cfg, genotype: Genotype, init_dict: Dict, task: Optional[str] = None):
+        self.cfg = cfg
+        self.task = task or cfg.TASK
+        self.genotype = genotype
+        self.token_size = init_dict["token_size"]
+        self.ans_size = init_dict.get("ans_size", 1)
+        self.pretrained_emb = init_dict.get("pretrained_emb", None)
+        self.ocfg = op_cfg_from(cfg)
+
+        # enc cells must not contain relation ops: the full net feeds the raw
+        # [B,T,T,3] text relation tensor (full_vqa.py:85-104 has no x-rel
+        # projection), so a rel op in 'enc' cannot typecheck. Fail loudly.
+        for node in genotype["enc"]:
+            for name in node:
+                if name.startswith("rel_"):
+                    raise ValueError(
+                        f"'{name}' in enc genotype: fixed-arch nets have no "
+                        "text-relation projection (reference parity)")
+
+        def build_cell(cell_type):
+            return [
+                [make_op(name, self.ocfg, cfg.OPS_NORM, cfg.OPS_RESIDUAL)
+                 for name in node]
+                for node in genotype[cell_type]
+            ]
+
+        # LAYERS identical cells per side (full_vqa.py:31-44)
+        self.enc_cells = [build_cell("enc") for _ in range(cfg.LAYERS)]
+        self.dec_cells = [build_cell("dec") for _ in range(cfg.LAYERS)]
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key) -> Dict:
+        cfg = self.cfg
+        ks = iter(jax.random.split(key, 16))
+        params: Dict = {}
+
+        if self.pretrained_emb is not None:
+            emb = jnp.asarray(np.asarray(self.pretrained_emb), jnp.float32)
+        else:
+            emb = jax.random.normal(
+                next(ks), (self.token_size, cfg.WORD_EMBED_SIZE), jnp.float32)
+        params["embedding"] = emb
+        params["lstm"] = P.lstm_init(next(ks), cfg.WORD_EMBED_SIZE, cfg.HSIZE)
+
+        imgfeat_in = cfg.FRCNFEAT_SIZE
+        if cfg.BBOX_FEATURE:
+            params["bboxfeat_linear"] = P.linear_init(next(ks), 5, cfg.BBOXFEAT_EMB_SIZE)
+            imgfeat_in += cfg.BBOXFEAT_EMB_SIZE
+        params["imgfeat_linear"] = P.linear_init(next(ks), imgfeat_in, cfg.HSIZE)
+        params["linear_y_rel"] = P.linear_init(next(ks), 4, cfg.REL_SIZE)
+
+        def init_cells(cells, base_key):
+            out = []
+            for li, cell in enumerate(cells):
+                cell_p = []
+                for ni, node in enumerate(cell):
+                    node_p = []
+                    for oi, op in enumerate(node):
+                        k = jax.random.fold_in(jax.random.fold_in(
+                            jax.random.fold_in(base_key, li), ni), oi)
+                        node_p.append(op.init(k))
+                    cell_p.append(node_p)
+                out.append(cell_p)
+            return out
+
+        params["enc"] = init_cells(self.enc_cells, next(ks))
+        params["dec"] = init_cells(self.dec_cells, next(ks))
+
+        params["attflat_x"] = attflat_init(next(ks), self.ocfg)
+        if self.task in ("vqa", "itm"):
+            params["attflat_y"] = attflat_init(next(ks), self.ocfg)
+        else:  # vgd keeps per-region resolution (full_vgd.py:77)
+            params["attfc_y"] = P.linear_init(next(ks), cfg.HSIZE, cfg.ATTFLAT_OUT_SIZE)
+        params["proj_norm"] = P.layernorm_init(cfg.ATTFLAT_OUT_SIZE)
+        if self.task == "vqa":
+            params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, self.ans_size)
+        elif self.task == "vgd":
+            params["proj_scores"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
+            params["proj_reg"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 4)
+        else:  # itm
+            params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
+        return params
+
+    # -- forward ------------------------------------------------------------
+
+    def trunk(self, params, batch, train, rngs):
+        """Shared stem + backbone; returns (x_out, y_out, x_mask, y_mask)."""
+        cfg = self.cfg
+        ques_ix = batch["ques_ix"]
+        frcn_feat = batch["frcn_feat"]
+
+        # masks: all-zero rows are padding (full_vqa.py:113-114)
+        x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
+        y_mask = P.make_mask(frcn_feat)
+
+        # text stem: embedding lookup + 1-layer LSTM (full_vqa.py:94-95)
+        lang_feat = params["embedding"][ques_ix]
+        x = P.lstm(params["lstm"], lang_feat)
+
+        # image stem (full_vqa.py:98-101)
+        if cfg.BBOX_FEATURE:
+            bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
+            frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
+        y = P.linear(params["imgfeat_linear"], frcn_feat)
+
+        # relation stems: image rel projected + relu (full_vqa.py:103);
+        # text rel passed raw in fixed-arch nets.
+        y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
+        x_rel = batch.get("rel_ques", None)
+
+        def run_cell(cell, cell_params, s, pre, s_mask, pre_mask, rel):
+            for node, node_params in zip(cell, cell_params):
+                s = sum(
+                    op.apply(op_p, s, pre, s_mask, pre_mask, rel, train, rngs)
+                    for op, op_p in zip(node, node_params)
+                )
+            return s
+
+        for cell, cp in zip(self.enc_cells, params["enc"]):
+            x = run_cell(cell, cp, x, None, x_mask, None, x_rel)
+        for cell, cp in zip(self.dec_cells, params["dec"]):
+            y = run_cell(cell, cp, y, x, y_mask, x_mask, y_rel)
+        return x, y, x_mask, y_mask
+
+    def apply(self, params, batch, train: bool = False, rng=None):
+        cfg = self.cfg
+        rngs = P.RngGen(rng)
+        x_out, y_out, x_mask, y_mask = self.trunk(params, batch, train, rngs)
+
+        xf = attflat(params["attflat_x"], self.ocfg, x_out, x_mask, train, rngs)
+        if self.task == "vqa":
+            yf = attflat(params["attflat_y"], self.ocfg, y_out, y_mask, train, rngs)
+            xy = P.layernorm(params["proj_norm"], xf + yf)
+            return P.linear(params["proj"], xy)  # [B, ans_size] logits
+        if self.task == "vgd":
+            yf = P.linear(params["attfc_y"], y_out)       # [B, L, A]
+            xy = P.layernorm(params["proj_norm"], xf[:, None, :] + yf)
+            scores = P.linear(params["proj_scores"], xy)[..., 0]  # [B, L]
+            if getattr(cfg, "SCORES_LOSS", "kld") == "kld":
+                scores = jax.nn.log_softmax(scores, axis=-1)
+            reg = P.linear(params["proj_reg"], xy)        # [B, L, 4]
+            return scores, reg
+        # itm
+        yf = attflat(params["attflat_y"], self.ocfg, y_out, y_mask, train, rngs)
+        xy = P.layernorm(params["proj_norm"], xf + yf)
+        return jax.nn.sigmoid(P.linear(params["proj"], xy)[..., 0])  # [B]

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers — the TPU-native distributed runtime.
+
+The reference's entire distributed layer is single-node multi-process data
+parallelism: mp.spawn + DDP over NCCL with implicit grad all-reduce
+(train_vqa.py:541-551, :236; SURVEY.md §2.5). On TPU none of that plumbing
+exists as user code: we lay out a `jax.sharding.Mesh`, place the batch with
+a `("data",)` PartitionSpec, keep params replicated (or model-sharded), and
+jit the train step — XLA SPMD inserts all ICI collectives (the DDP
+all-reduce becomes a gradient psum fused into the backward pass).
+
+Gradient-scale parity with DDP: the reference's per-rank loss is a *sum*
+over the rank's batch and DDP *averages* grads over ranks, so the effective
+gradient is sum-over-64-examples regardless of world size (per-rank batch is
+always BATCH_SIZE). Our global batch is BATCH_SIZE * n_devices with grads
+divided by n_devices — identical dynamics at any device count.
+
+Multi-host: call `jax.distributed.initialize()` before `get_mesh()`; the
+mesh then spans all processes and the same program runs SPMD across hosts
+(DCN rendezvous replaces the reference's MASTER_ADDR/MASTER_PORT TCP store).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: int = 0, model_axis: int = 1) -> Mesh:
+    """1-D data mesh (optionally x model axis for tensor sharding).
+
+    n_devices == 0 uses every visible device. The data axis carries the
+    batch; the model axis (if >1) carries hidden-dim shards.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    if n % model_axis != 0:
+        raise ValueError(f"n_devices {n} not divisible by model_axis {model_axis}")
+    arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape["data"]
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch on the mesh, leading axis split over 'data'."""
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh (params, opt state)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
