@@ -87,6 +87,7 @@ class Cfg:
     CKPT_FILE_PATH: Optional[str] = None
     CKPT_ROOT: str = "./logs/ckpts/"
     LOG_ROOT: str = "./logs/log/"
+    ARCH_ROOT: str = "./arch/"        # EVAL_PATH['arch'] (filepath_vqa.py:27)
 
     # TPU execution
     N_DEVICES: int = 0                # 0 = all visible devices

@@ -1,0 +1,272 @@
+"""Bilevel supernet search engine (rebuild of search_vqa.py Execution).
+
+The reference alternates two kinds of steps inside one epoch
+(search_vqa.py:268-337):
+  WEIGHT step (every batch, 80% split): sample one op per block, update
+    only the sampled ops' weights.
+  ARCH step (epoch >= ALPHA_START, every ALPHA_EVERY batches, 20% split):
+    run all candidates, map binary-gate grads to alpha grads through the
+    softmax Jacobian, Adam(lr 0.1, betas (0,0.999)) on alphas.
+
+TPU-native: BOTH are single jitted XLA programs over the data mesh. The
+per-block multinomial sampling happens on device (jax.random.categorical),
+so there is no host round-trip and no recompilation across steps; the
+straight-through gate formulation makes the softmax-Jacobian alpha gradient
+fall out of autodiff (models/supernet.py docstring).
+
+This class is task-generic: subclasses provide the loss and eval metric
+(VQA here; search_vgd/search_itm engines extend it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmnas_tpu.data.loader import Loader
+from mmnas_tpu.data.sampler import SubsetShardSampler
+from mmnas_tpu.genotype import append_genotype
+from mmnas_tpu.models.supernet import NetSearch
+from mmnas_tpu.parallel import mesh as pmesh
+from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint, save_checkpoint
+from mmnas_tpu.train.optimizer import WarmupAdam, clip_by_global_norm, plain_adam
+from mmnas_tpu.utils.logger import TextLogger, is_writer
+from mmnas_tpu.engine.vqa import bce_with_logits_sum
+
+
+class SearchExecution:
+    TASK = "vqa"
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.mesh = pmesh.get_mesh(cfg.N_DEVICES)
+        self.n_shards = pmesh.data_axis_size(self.mesh)
+        self.logger = TextLogger(cfg.LOG_ROOT, cfg.VERSION)
+
+    # ---- task hooks --------------------------------------------------------
+    def loss(self, pred, batch):
+        """BCEWithLogits sum (search_vqa.py:211,282)."""
+        return bce_with_logits_sum(pred, batch["ans"])
+
+    def eval_metric(self, preds: np.ndarray, batches) -> Optional[float]:
+        scores = np.concatenate([b["ans"] for b in batches])[:len(preds)]
+        return float(np.mean(scores[np.arange(len(preds)), preds]))
+
+    def build_dataset(self):
+        cfg = self.cfg
+        if cfg.SYNTH:
+            from mmnas_tpu.data.synth import SynthVqaDataset
+            return SynthVqaDataset(cfg, size=cfg.SYNTH_SIZE, seed=cfg.SEED)
+        from mmnas_tpu.data.vqa import VqaDataset
+        return VqaDataset(cfg, "train")
+
+    # ---- step builders -----------------------------------------------------
+    def global_batch(self) -> int:
+        return self.cfg.BATCH_SIZE * self.n_shards
+
+    def make_weight_step(self, net: NetSearch, optim: WarmupAdam):
+        cfg, n_shards = self.cfg, self.n_shards
+
+        def step(params, opt_state, alpha, batch, rng):
+            k_sample, k_drop = jax.random.split(rng)
+            idx = net.sample_indices(k_sample, alpha)
+
+            def loss_fn(p):
+                pred = net.apply(p, alpha, batch, idx, mode="sampled",
+                                 train=True, rng=k_drop)
+                return self.loss(pred, batch)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
+            if cfg.NET_GRAD_CLIP > 0:  # net params only (search_vqa.py:298)
+                grads, _ = clip_by_global_norm(grads, cfg.NET_GRAD_CLIP)
+            mask = net.update_mask(params, idx)
+            params, opt_state, lr = optim.step(opt_state, params, grads, mask)
+            return params, opt_state, loss, lr
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def make_arch_step(self, net: NetSearch, alpha_optim: WarmupAdam):
+        n_shards = self.n_shards
+
+        def step(alpha, alpha_opt_state, params, batch, rng):
+            k_sample, k_drop = jax.random.split(rng)
+            idx = net.sample_indices(k_sample, alpha)
+
+            def loss_fn(a):
+                pred = net.apply(params, a, batch, idx, mode="full",
+                                 train=True, rng=k_drop)
+                return self.loss(pred, batch)
+
+            loss, grads = jax.value_and_grad(loss_fn)(alpha)
+            # DDP averages the gate grads before the Jacobian map
+            grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
+            alpha, alpha_opt_state, _ = alpha_optim.step(
+                alpha_opt_state, alpha, grads)
+            return alpha, alpha_opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def make_eval_step(self, net: NetSearch):
+        def step(params, alpha, batch):
+            idx = net.chosen_indices(alpha)
+            pred = net.apply(params, alpha, batch, idx, mode="sampled",
+                             train=False)
+            return jnp.argmax(pred, axis=-1)
+        return jax.jit(step)
+
+    # ---- main loop ---------------------------------------------------------
+    def search(self, train_loader: Loader, eval_loader: Loader):
+        cfg = self.cfg
+        dataset = train_loader.dataset
+        init_dict = {
+            "token_size": dataset.token_size,
+            "ans_size": dataset.ans_size,
+            "pretrained_emb": getattr(dataset, "pretrained_emb", None),
+        }
+        net = NetSearch(cfg, init_dict, task=self.TASK)
+
+        epoch_steps = train_loader.steps_per_epoch()
+        net_optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
+                               cfg.NET_WEIGHT_DECAY, epoch_steps,
+                               warmup=cfg.NET_OPTIM_WARMUP)
+        alpha_optim = plain_adam(cfg.ALPHA_LR_BASE, cfg.ALPHA_OPT_BETAS,
+                                 eps=1e-8, weight_decay=cfg.ALPHA_WEIGHT_DECAY)
+
+        params = net.init(jax.random.PRNGKey(cfg.SEED))
+        alpha = net.init_alpha()
+        opt_state = net_optim.init(params)
+        alpha_opt_state = alpha_optim.init(alpha)
+        start_epoch = 0
+
+        if cfg.RESUME:
+            ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
+            params, opt_state = ckpt["state_dict"], ckpt["net_optim"]
+            alpha, alpha_opt_state = ckpt["alpha"], ckpt["alpha_optim"]
+            start_epoch = ckpt["epoch"]
+            opt_state = WarmupAdam.set_start_step(opt_state, start_epoch * epoch_steps)
+
+        params = pmesh.replicate(self.mesh, params)
+        opt_state = pmesh.replicate(self.mesh, opt_state)
+        alpha = pmesh.replicate(self.mesh, alpha)
+        alpha_opt_state = pmesh.replicate(self.mesh, alpha_opt_state)
+
+        weight_step = self.make_weight_step(net, net_optim)
+        arch_step = self.make_arch_step(net, alpha_optim)
+
+        base_key = jax.random.PRNGKey(cfg.SEED + 1)
+        arch_json = os.path.join(cfg.ARCH_ROOT, cfg.VERSION + ".json")
+        global_step = start_epoch * epoch_steps
+
+        for epoch in range(start_epoch, cfg.MAX_EPOCH):
+            self.logger.stamp()
+            train_loader.sampler.set_epoch(epoch)
+            eval_loader.sampler.set_epoch(epoch)
+            eval_loader.sampler.set_shuffle(True)
+            if epoch in tuple(cfg.NET_LR_DECAY_LIST):
+                opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
+
+            eval_iter = iter(eval_loader)
+            loss_sum, lr, t0 = 0.0, 0.0, time.time()
+            for step, batch in enumerate(train_loader):
+                sb = pmesh.shard_batch(self.mesh, batch)
+                rng = jax.random.fold_in(base_key, global_step)
+                params, opt_state, loss, lr = weight_step(
+                    params, opt_state, alpha, sb, rng)
+                loss_sum += float(loss)
+
+                if (epoch >= cfg.ALPHA_START
+                        and (step + 1) % cfg.ALPHA_EVERY == 0):
+                    try:
+                        arch_batch = next(eval_iter)
+                    except StopIteration:
+                        eval_iter = iter(eval_loader)
+                        arch_batch = next(eval_iter)
+                    sb2 = pmesh.shard_batch(self.mesh, arch_batch)
+                    rng2 = jax.random.fold_in(base_key, 1_000_000_000 + global_step)
+                    alpha, alpha_opt_state, _ = arch_step(
+                        alpha, alpha_opt_state, params, sb2, rng2)
+
+                global_step += 1
+                if cfg.DEBUG and is_writer():
+                    print(step, float(loss) / self.global_batch())
+
+            epoch_finish = epoch + 1
+            dt = time.time() - t0
+            host_alpha = jax.tree_util.tree_map(np.asarray, alpha)
+            genotype = net.genotype(host_alpha)
+            weights = net.genotype_weights(host_alpha)
+
+            if is_writer():
+                save_checkpoint(
+                    ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish),
+                    {"state_dict": params, "net_optim": opt_state,
+                     "alpha": alpha, "alpha_optim": alpha_opt_state,
+                     "epoch": epoch_finish})
+                msg = (f"epoch = {epoch_finish}  loss = "
+                       f"{loss_sum / max(epoch_steps, 1) / self.global_batch():.6f}  "
+                       f"lr = {float(lr):.8f}  epoch_s = {dt:.1f}")
+                print(msg)
+                self.logger.write(msg)
+                for name in genotype:
+                    self.logger.write(f"{name}: {genotype[name]}")
+                for name in weights:
+                    self.logger.write(f"{name}: {weights[name]}")
+                # per-epoch genotype archive, reset on first epoch
+                # (search_vqa.py:379-386)
+                if epoch_finish == 1 + start_epoch and os.path.exists(arch_json):
+                    os.remove(arch_json)
+                append_genotype(arch_json, epoch_finish, genotype)
+
+            if cfg.EVAL_EVERY_EPOCH:
+                acc = self.eval(eval_loader, net, params, alpha)
+                if acc is not None and is_writer():
+                    self.logger.write(f"eval accuracy = {100.0 * acc:.2f}")
+
+        return params, alpha, net
+
+    # ---- eval --------------------------------------------------------------
+    def eval(self, eval_loader: Loader, net: NetSearch, params, alpha):
+        """argmax-path eval (search_vqa.py:400-470 semantics)."""
+        eval_loader.sampler.set_shuffle(False)
+        eval_step = self.make_eval_step(net)
+        preds, batches = [], []
+        for batch in eval_loader:
+            sb = pmesh.shard_batch(self.mesh, batch)
+            preds.append(np.asarray(eval_step(params, alpha, sb)))
+            batches.append(batch)
+        if not preds:
+            return None
+        preds = np.concatenate(preds)
+        if eval_loader.last_batch_pad:
+            preds = preds[:len(preds) - eval_loader.last_batch_pad]
+        if not is_writer():
+            return None
+        acc = self.eval_metric(preds, batches)
+        if acc is not None:
+            print(f"search eval accuracy = {100.0 * acc:.2f}")
+        return acc
+
+    # ---- run ---------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        dataset = self.build_dataset()
+        n = len(dataset)
+        split = int(n * cfg.SPLIT_PORTION)
+        # ONE dataset, 80/20 bilevel split (search_vqa.py:560-583)
+        train_loader = Loader(
+            dataset, self.global_batch(),
+            sampler=SubsetShardSampler(n, shuffle=True,
+                                       subset_indices=list(range(split))),
+            num_workers=cfg.NUM_WORKERS)
+        eval_loader = Loader(
+            dataset, self.global_batch(),
+            sampler=SubsetShardSampler(n, shuffle=True,
+                                       subset_indices=list(range(split, n))),
+            num_workers=cfg.NUM_WORKERS)
+        return self.search(train_loader, eval_loader)

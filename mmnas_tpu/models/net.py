@@ -4,9 +4,11 @@ One `NetFull` class covers all three tasks; they share the whole trunk
 (GloVe embedding -> LSTM text encoder, image-feature projection, genotype-
 defined encoder/decoder cells, relation-embedding stem) and differ only in
 the output head (reference diff between full_vqa.py / full_vgd.py:76-114 /
-full_itm.py:81-112).
+full_itm.py:81-112). The stem/head helpers are shared with the search
+supernet (models/supernet.py), mirroring how hygr_*.py duplicates the
+full_*.py trunk.
 
-Everything is pure-functional: `NetFull` holds only *static* structure (op
+Everything is pure-functional: net objects hold only *static* structure (op
 closures built from the genotype, shapes); parameters live in a plain dict
 pytree returned by `init` and threaded through `apply`. A whole train step
 jits into a single XLA program with static shapes.
@@ -44,6 +46,97 @@ def op_cfg_from(cfg) -> OpCfg:
         attflat_mlp_size=cfg.ATTFLAT_MLP_SIZE,
     )
 
+
+# ---------------------------------------------------------------------------
+# shared stem / heads (trunk identical across full_*.py and hygr_*.py)
+# ---------------------------------------------------------------------------
+
+def init_stem(ks, cfg, token_size: int, pretrained_emb, with_x_rel: bool) -> Dict:
+    params: Dict = {}
+    if pretrained_emb is not None:
+        params["embedding"] = jnp.asarray(np.asarray(pretrained_emb), jnp.float32)
+    else:
+        params["embedding"] = jax.random.normal(
+            next(ks), (token_size, cfg.WORD_EMBED_SIZE), jnp.float32)
+    params["lstm"] = P.lstm_init(next(ks), cfg.WORD_EMBED_SIZE, cfg.HSIZE)
+    imgfeat_in = cfg.FRCNFEAT_SIZE
+    if cfg.BBOX_FEATURE:
+        params["bboxfeat_linear"] = P.linear_init(next(ks), 5, cfg.BBOXFEAT_EMB_SIZE)
+        imgfeat_in += cfg.BBOXFEAT_EMB_SIZE
+    params["imgfeat_linear"] = P.linear_init(next(ks), imgfeat_in, cfg.HSIZE)
+    params["linear_y_rel"] = P.linear_init(next(ks), 4, cfg.REL_SIZE)
+    if with_x_rel:  # search nets project the text relation too (hygr_vqa.py:83)
+        params["linear_x_rel"] = P.linear_init(next(ks), 3, cfg.REL_SIZE)
+    return params
+
+
+def apply_stem(params, cfg, batch, train, rngs):
+    """Masks + text/image/relation stems (full_vqa.py:88-103).
+
+    Returns (x, y, x_mask, y_mask, x_rel, y_rel)."""
+    ques_ix = batch["ques_ix"]
+    frcn_feat = batch["frcn_feat"]
+
+    x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
+    y_mask = P.make_mask(frcn_feat)
+
+    lang_feat = params["embedding"][ques_ix]
+    x = P.lstm(params["lstm"], lang_feat)
+
+    if cfg.BBOX_FEATURE:
+        bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
+        frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
+    y = P.linear(params["imgfeat_linear"], frcn_feat)
+
+    y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
+    if "linear_x_rel" in params:
+        x_rel = jax.nn.relu(P.linear(params["linear_x_rel"], batch["rel_ques"]))
+    else:  # fixed-arch nets pass the raw text relation (full_vqa.py:104)
+        x_rel = batch.get("rel_ques", None)
+    return x, y, x_mask, y_mask, x_rel, y_rel
+
+
+def init_heads(ks, cfg, ocfg: OpCfg, task: str, ans_size: int) -> Dict:
+    params: Dict = {"attflat_x": attflat_init(next(ks), ocfg)}
+    if task in ("vqa", "itm"):
+        params["attflat_y"] = attflat_init(next(ks), ocfg)
+    else:  # vgd keeps per-region resolution (full_vgd.py:77)
+        params["attfc_y"] = P.linear_init(next(ks), cfg.HSIZE, cfg.ATTFLAT_OUT_SIZE)
+    params["proj_norm"] = P.layernorm_init(cfg.ATTFLAT_OUT_SIZE)
+    if task == "vqa":
+        params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, ans_size)
+    elif task == "vgd":
+        params["proj_scores"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
+        params["proj_reg"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 4)
+    else:  # itm
+        params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
+    return params
+
+
+def apply_heads(params, cfg, ocfg: OpCfg, task: str,
+                x_out, y_out, x_mask, y_mask, train, rngs):
+    xf = attflat(params["attflat_x"], ocfg, x_out, x_mask, train, rngs)
+    if task == "vqa":
+        yf = attflat(params["attflat_y"], ocfg, y_out, y_mask, train, rngs)
+        xy = P.layernorm(params["proj_norm"], xf + yf)
+        return P.linear(params["proj"], xy)  # [B, ans_size] logits
+    if task == "vgd":
+        yf = P.linear(params["attfc_y"], y_out)       # [B, L, A]
+        xy = P.layernorm(params["proj_norm"], xf[:, None, :] + yf)
+        scores = P.linear(params["proj_scores"], xy)[..., 0]  # [B, L]
+        if getattr(cfg, "SCORES_LOSS", "kld") == "kld":
+            scores = jax.nn.log_softmax(scores, axis=-1)
+        reg = P.linear(params["proj_reg"], xy)        # [B, L, 4]
+        return scores, reg
+    # itm
+    yf = attflat(params["attflat_y"], ocfg, y_out, y_mask, train, rngs)
+    xy = P.layernorm(params["proj_norm"], xf + yf)
+    return jax.nn.sigmoid(P.linear(params["proj"], xy)[..., 0])  # [B]
+
+
+# ---------------------------------------------------------------------------
+# fixed-architecture net
+# ---------------------------------------------------------------------------
 
 class NetFull:
     """Genotype-defined multimodal encoder-decoder net.
@@ -91,22 +184,8 @@ class NetFull:
     def init(self, key) -> Dict:
         cfg = self.cfg
         ks = iter(jax.random.split(key, 16))
-        params: Dict = {}
-
-        if self.pretrained_emb is not None:
-            emb = jnp.asarray(np.asarray(self.pretrained_emb), jnp.float32)
-        else:
-            emb = jax.random.normal(
-                next(ks), (self.token_size, cfg.WORD_EMBED_SIZE), jnp.float32)
-        params["embedding"] = emb
-        params["lstm"] = P.lstm_init(next(ks), cfg.WORD_EMBED_SIZE, cfg.HSIZE)
-
-        imgfeat_in = cfg.FRCNFEAT_SIZE
-        if cfg.BBOX_FEATURE:
-            params["bboxfeat_linear"] = P.linear_init(next(ks), 5, cfg.BBOXFEAT_EMB_SIZE)
-            imgfeat_in += cfg.BBOXFEAT_EMB_SIZE
-        params["imgfeat_linear"] = P.linear_init(next(ks), imgfeat_in, cfg.HSIZE)
-        params["linear_y_rel"] = P.linear_init(next(ks), 4, cfg.REL_SIZE)
+        params = init_stem(ks, cfg, self.token_size, self.pretrained_emb,
+                           with_x_rel=False)
 
         def init_cells(cells, base_key):
             out = []
@@ -124,48 +203,15 @@ class NetFull:
 
         params["enc"] = init_cells(self.enc_cells, next(ks))
         params["dec"] = init_cells(self.dec_cells, next(ks))
-
-        params["attflat_x"] = attflat_init(next(ks), self.ocfg)
-        if self.task in ("vqa", "itm"):
-            params["attflat_y"] = attflat_init(next(ks), self.ocfg)
-        else:  # vgd keeps per-region resolution (full_vgd.py:77)
-            params["attfc_y"] = P.linear_init(next(ks), cfg.HSIZE, cfg.ATTFLAT_OUT_SIZE)
-        params["proj_norm"] = P.layernorm_init(cfg.ATTFLAT_OUT_SIZE)
-        if self.task == "vqa":
-            params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, self.ans_size)
-        elif self.task == "vgd":
-            params["proj_scores"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
-            params["proj_reg"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 4)
-        else:  # itm
-            params["proj"] = P.linear_init(next(ks), cfg.ATTFLAT_OUT_SIZE, 1)
+        params.update(init_heads(ks, cfg, self.ocfg, self.task, self.ans_size))
         return params
 
     # -- forward ------------------------------------------------------------
 
     def trunk(self, params, batch, train, rngs):
         """Shared stem + backbone; returns (x_out, y_out, x_mask, y_mask)."""
-        cfg = self.cfg
-        ques_ix = batch["ques_ix"]
-        frcn_feat = batch["frcn_feat"]
-
-        # masks: all-zero rows are padding (full_vqa.py:113-114)
-        x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
-        y_mask = P.make_mask(frcn_feat)
-
-        # text stem: embedding lookup + 1-layer LSTM (full_vqa.py:94-95)
-        lang_feat = params["embedding"][ques_ix]
-        x = P.lstm(params["lstm"], lang_feat)
-
-        # image stem (full_vqa.py:98-101)
-        if cfg.BBOX_FEATURE:
-            bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
-            frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
-        y = P.linear(params["imgfeat_linear"], frcn_feat)
-
-        # relation stems: image rel projected + relu (full_vqa.py:103);
-        # text rel passed raw in fixed-arch nets.
-        y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
-        x_rel = batch.get("rel_ques", None)
+        x, y, x_mask, y_mask, x_rel, y_rel = apply_stem(
+            params, self.cfg, batch, train, rngs)
 
         def run_cell(cell, cell_params, s, pre, s_mask, pre_mask, rel):
             for node, node_params in zip(cell, cell_params):
@@ -182,24 +228,7 @@ class NetFull:
         return x, y, x_mask, y_mask
 
     def apply(self, params, batch, train: bool = False, rng=None):
-        cfg = self.cfg
         rngs = P.RngGen(rng)
         x_out, y_out, x_mask, y_mask = self.trunk(params, batch, train, rngs)
-
-        xf = attflat(params["attflat_x"], self.ocfg, x_out, x_mask, train, rngs)
-        if self.task == "vqa":
-            yf = attflat(params["attflat_y"], self.ocfg, y_out, y_mask, train, rngs)
-            xy = P.layernorm(params["proj_norm"], xf + yf)
-            return P.linear(params["proj"], xy)  # [B, ans_size] logits
-        if self.task == "vgd":
-            yf = P.linear(params["attfc_y"], y_out)       # [B, L, A]
-            xy = P.layernorm(params["proj_norm"], xf[:, None, :] + yf)
-            scores = P.linear(params["proj_scores"], xy)[..., 0]  # [B, L]
-            if getattr(cfg, "SCORES_LOSS", "kld") == "kld":
-                scores = jax.nn.log_softmax(scores, axis=-1)
-            reg = P.linear(params["proj_reg"], xy)        # [B, L, 4]
-            return scores, reg
-        # itm
-        yf = attflat(params["attflat_y"], self.ocfg, y_out, y_mask, train, rngs)
-        xy = P.layernorm(params["proj_norm"], xf + yf)
-        return jax.nn.sigmoid(P.linear(params["proj"], xy)[..., 0])  # [B]
+        return apply_heads(params, self.cfg, self.ocfg, self.task,
+                           x_out, y_out, x_mask, y_mask, train, rngs)

@@ -1,0 +1,233 @@
+"""Weight-sharing search supernet (TPU rebuild of mmnas/model/hygr_*.py +
+mmnas/model/mixed.py).
+
+The reference supernet mutates Python module state every step: a global
+`MixedOp.MODE`, per-block `binarize()` multinomial sampling, and physical
+detachment of unsampled submodules (`unused_modules_off`,
+hygr_vqa.py:175-187) — all hostile to XLA's trace-once model. Here the SAME
+dataflow is expressed as pure tensor programs compiled once:
+
+- Every candidate op's params always exist in the pytree; "module off" is
+  simply not executing (or zero-weighting) a branch inside the compiled step.
+- Weight step (reference MODE=None, mixed.py:104): per-node indices are
+  sampled ON DEVICE from softmax(alpha) with `jax.random.categorical`, and
+  `lax.switch` executes only the sampled branch. Autodiff through switch
+  gives gradients to the sampled branch's params only — the reference's
+  `param.grad=None` clearing (mixed.py:160-163) becomes a per-leaf optimizer
+  mask (train/optimizer.py).
+- Arch step (reference MODE='full', mixed.py:60-68): all branches run,
+  combined with straight-through gates
+      g = onehot(sample) + softmax(alpha) - stop_grad(softmax(alpha))
+  so the forward equals the one-hot path while d(loss)/d(alpha) is exactly
+  the ProxylessNAS softmax-Jacobian  sum_j b_j p_j (delta_ij - p_i)
+  that mixed.py:171-198 computes by hand (b_j = <grad_out, branch_j out>).
+  Verified against the explicit formula in tests/test_supernet.py.
+
+Alpha storage: one [n_nodes, n_choices] array per cell type (vs one
+nn.Parameter per MixedOp), which makes genotype extraction a single argmax.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmnas_tpu.models.net import (
+    apply_heads, apply_stem, init_heads, init_stem, op_cfg_from,
+)
+from mmnas_tpu.ops import primitives as P
+from mmnas_tpu.ops.registry import OPS_ADAPTER, make_op
+
+
+# MCAN-like biased alpha init (hygr_vqa.py:139-156): +1 on the hand-picked
+# op, -1 elsewhere. The dec pattern list in the reference has 21 entries for
+# 18 nodes; zip truncates — reproduced by cycling then slicing.
+_INIT_ENC = ["self_att_64", "feed_forward"]                      # x6
+_INIT_DEC = ["rel_self_att_64", "guided_att_64", "feed_forward"]  # x6
+
+
+class NetSearch:
+    def __init__(self, cfg, init_dict: Dict, task: str = "vqa"):
+        self.cfg = cfg
+        self.task = task
+        self.token_size = init_dict["token_size"]
+        self.ans_size = init_dict.get("ans_size", 1)
+        self.pretrained_emb = init_dict.get("pretrained_emb", None)
+        self.ocfg = op_cfg_from(cfg)
+
+        self.spaces = {
+            "enc": list(OPS_ADAPTER.Used_OPS["enc_safe"]),
+            "dec": list(OPS_ADAPTER.Used_OPS["dec_safe"]),
+        }
+        self.n_nodes = dict(cfg.NODES)  # {"enc": 12, "dec": 18}
+
+        def build_nodes(cell_type):
+            return [
+                [make_op(name, self.ocfg, cfg.OPS_NORM, cfg.OPS_RESIDUAL)
+                 for name in self.spaces[cell_type]]
+                for _ in range(self.n_nodes[cell_type])
+            ]
+
+        # LAYERS=1 in every reference config; keep a single cell per side.
+        assert cfg.LAYERS == 1, "search supernet supports LAYERS=1 (reference parity)"
+        self.enc_nodes = build_nodes("enc")
+        self.dec_nodes = build_nodes("dec")
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key) -> Dict:
+        cfg = self.cfg
+        ks = iter(jax.random.split(key, 16))
+        params = init_stem(ks, cfg, self.token_size, self.pretrained_emb,
+                           with_x_rel=True)
+
+        def init_nodes(nodes, base_key):
+            out = []
+            for ni, node in enumerate(nodes):
+                node_p = []
+                for oi, op in enumerate(node):
+                    k = jax.random.fold_in(jax.random.fold_in(base_key, ni), oi)
+                    node_p.append(op.init(k))
+                out.append(node_p)
+            return out
+
+        params["enc"] = init_nodes(self.enc_nodes, next(ks))
+        params["dec"] = init_nodes(self.dec_nodes, next(ks))
+        params.update(init_heads(ks, cfg, self.ocfg, self.task, self.ans_size))
+        return params
+
+    def init_alpha(self) -> Dict[str, jnp.ndarray]:
+        """Biased init toward the MCAN-like genotype (hygr_vqa.py:139-156).
+        (The reference's normal(0,1e-3) pre-init is overwritten by this.)"""
+        init_a, init_b = 1.0, -1.0
+        alpha = {}
+        for cell_type, pattern in (("enc", _INIT_ENC), ("dec", _INIT_DEC)):
+            space = self.spaces[cell_type]
+            n = self.n_nodes[cell_type]
+            flat = (pattern * ((n + len(pattern) - 1) // len(pattern)))[:n]
+            a = np.full((n, len(space)), init_b, np.float32)
+            for i, name in enumerate(flat):
+                a[i, space.index(name)] = init_a
+            alpha[cell_type] = jnp.asarray(a)
+        return alpha
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample_indices(self, rng, alpha) -> Dict[str, jnp.ndarray]:
+        """Per-node categorical draw from softmax(alpha) (mixed.py:150-158),
+        on device, shapes static."""
+        k1, k2 = jax.random.split(rng)
+        return {
+            "enc": jax.random.categorical(k1, alpha["enc"], axis=-1),
+            "dec": jax.random.categorical(k2, alpha["dec"], axis=-1),
+        }
+
+    def chosen_indices(self, alpha) -> Dict[str, jnp.ndarray]:
+        """argmax path for search-time eval (mixed.py:121-129)."""
+        return {
+            "enc": jnp.argmax(alpha["enc"], axis=-1),
+            "dec": jnp.argmax(alpha["dec"], axis=-1),
+        }
+
+    # -- forward ------------------------------------------------------------
+
+    def _run_nodes_sampled(self, nodes, node_params, idx, s, pre, s_mask,
+                           pre_mask, rel, train, rngs):
+        """Sequential DAG, one branch per node via lax.switch (MODE=None)."""
+        for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+            branches = [
+                (lambda op, p: lambda x: op.apply(
+                    p, x, pre, s_mask, pre_mask, rel, train, rngs))(op, p)
+                for op, p in zip(node, np_)
+            ]
+            s = jax.lax.switch(idx[ni], branches, s)
+        return s
+
+    def _run_nodes_full(self, nodes, node_params, idx, alpha, s, pre, s_mask,
+                        pre_mask, rel, train, rngs):
+        """All branches + straight-through one-hot gates (MODE='full')."""
+        n_choices = len(nodes[0])
+        for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+            p_soft = jax.nn.softmax(alpha[ni])
+            gates = (jax.nn.one_hot(idx[ni], n_choices, dtype=p_soft.dtype)
+                     + p_soft - jax.lax.stop_gradient(p_soft))
+            outs = [op.apply(p, s, pre, s_mask, pre_mask, rel, train, rngs)
+                    for op, p in zip(node, np_)]
+            # inactive-branch detach (mixed.py:66-68): net-weight grads flow
+            # only through the sampled branch; alpha grads see all branches.
+            outs = [jnp.where(idx[ni] == j, o, jax.lax.stop_gradient(o))
+                    for j, o in enumerate(outs)]
+            s = sum(gates[j] * outs[j] for j in range(n_choices))
+        return s
+
+    def apply(self, params, alpha, batch, idx, mode: str = "sampled",
+              train: bool = False, rng=None):
+        """mode 'sampled': execute only idx branches (weight step / eval).
+        mode 'full': all branches, straight-through gates (arch step)."""
+        rngs = P.RngGen(rng)
+        x, y, x_mask, y_mask, x_rel, y_rel = apply_stem(
+            params, self.cfg, batch, train, rngs)
+
+        if mode == "sampled":
+            x = self._run_nodes_sampled(self.enc_nodes, params["enc"],
+                                        idx["enc"], x, None, x_mask, None,
+                                        x_rel, train, rngs)
+            y = self._run_nodes_sampled(self.dec_nodes, params["dec"],
+                                        idx["dec"], y, x, y_mask, x_mask,
+                                        y_rel, train, rngs)
+        elif mode == "full":
+            x = self._run_nodes_full(self.enc_nodes, params["enc"],
+                                     idx["enc"], alpha["enc"], x, None,
+                                     x_mask, None, x_rel, train, rngs)
+            y = self._run_nodes_full(self.dec_nodes, params["dec"],
+                                     idx["dec"], alpha["dec"], y, x,
+                                     y_mask, x_mask, y_rel, train, rngs)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        return apply_heads(params, self.cfg, self.ocfg, self.task,
+                           x, y, x_mask, y_mask, train, rngs)
+
+    # -- optimizer mask -----------------------------------------------------
+
+    def update_mask(self, params, idx) -> Dict:
+        """Per-leaf 0/1 mask for the net optimizer: candidate-op subtrees get
+        their node's sampled indicator, everything else 1. Reproduces torch
+        Adam skipping params whose grad was cleared (mixed.py:160-163)."""
+
+        def mask_nodes(node_params, indices):
+            out = []
+            for ni, node_p in enumerate(node_params):
+                node_m = []
+                for oi, op_p in enumerate(node_p):
+                    sel = (indices[ni] == oi).astype(jnp.float32)
+                    node_m.append(jax.tree_util.tree_map(lambda _: sel, op_p))
+                out.append(node_m)
+            return out
+
+        mask = jax.tree_util.tree_map(lambda _: 1.0, params)
+        mask["enc"] = mask_nodes(params["enc"], idx["enc"])
+        mask["dec"] = mask_nodes(params["dec"], idx["dec"])
+        return mask
+
+    # -- genotype -----------------------------------------------------------
+
+    def genotype(self, alpha) -> Dict[str, List[List[str]]]:
+        """argmax per node -> reference JSON schema (hygr_vqa.py:242-273)."""
+        gene = {}
+        for cell_type in ("enc", "dec"):
+            a = np.asarray(alpha[cell_type])
+            space = self.spaces[cell_type]
+            gene[cell_type] = [[space[int(i)]] for i in a.argmax(axis=-1)]
+        return gene
+
+    def genotype_weights(self, alpha) -> Dict[str, List]:
+        out = {}
+        for cell_type, key in (("enc", "w_enc"), ("dec", "w_dec")):
+            a = np.asarray(alpha[cell_type])
+            e = np.exp(a - a.max(axis=-1, keepdims=True))
+            out[key] = (e / e.sum(axis=-1, keepdims=True)).tolist()
+        return out
