@@ -75,8 +75,14 @@ class Cfg:
     OPT_EPS: float = 1e-9
     MAX_EPOCH: int = 13
 
-    # vgd loss (train_vgd.py Cfg): 'kld' target distribution or 'bce'
-    SCORES_LOSS: str = "kld"
+    # vgd (train_vgd.py:155-162): box-label + loss config
+    SCORES_LOSS: str = "kld"          # 'kld' target distribution or 'bce'
+    BBOX_NORM: bool = True
+    BBOX_NORM_MEANS: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    BBOX_NORM_STDS: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    OVERLAP_THRESHOLD: float = 0.5
+    LOSS_AVG: bool = True
+    LOSS_LAMBDA: float = 0.5
 
     # genotype (fixed-arch runs)
     ARCH_PATH: str = "./arch/mcan.json"
@@ -167,7 +173,9 @@ def cfg_from_args(task: str, args, search: bool = False) -> Cfg:
     cls = SearchCfg if search else Cfg
     cfg = cls(TASK=task)
     if task == "vgd":
-        cfg = cfg.replace(MAX_TOKEN=15)
+        # query tensor is MAX_TOKEN+1=15 ints, rel stays 14x14
+        # (load_data_vgd.py:189-200 quirk); lr differs (train_vgd.py:196)
+        cfg = cfg.replace(MAX_TOKEN=14, NET_LR_BASE=0.00014 if not search else cfg.NET_LR_BASE)
     elif task == "itm":
         cfg = cfg.replace(MAX_TOKEN=50)
     overrides = {}
