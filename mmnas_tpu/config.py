@@ -84,6 +84,16 @@ class Cfg:
     LOSS_AVG: bool = True
     LOSS_LAMBDA: float = 0.5
 
+    # itm (train_itm.py:133-163): hard-negative mining + triplet loss
+    NEG_BATCHSIZE: int = 50
+    NEG_RANDSIZE: int = 64
+    NEG_HARDSIZE: int = 5
+    NEG_NEPOCH: int = 1
+    NEG_START_EPOCH: int = 0
+    ITM_DOUBLE_POS: bool = True       # reference BCE_Loss counts loss_pos
+                                      # twice (itm_loss.py:22) — kept for
+                                      # parity, flag to disable
+
     # genotype (fixed-arch runs)
     ARCH_PATH: str = "./arch/mcan.json"
     GENO_EPOCH: int = 0
@@ -177,7 +187,13 @@ def cfg_from_args(task: str, args, search: bool = False) -> Cfg:
         # (load_data_vgd.py:189-200 quirk); lr differs (train_vgd.py:196)
         cfg = cfg.replace(MAX_TOKEN=14, NET_LR_BASE=0.00014 if not search else cfg.NET_LR_BASE)
     elif task == "itm":
-        cfg = cfg.replace(MAX_TOKEN=50)
+        # train_itm.py:140-196: 36 regions, 50 tokens, BCE triplets,
+        # lr 1.5e-4, decay at epoch 36, 100 epochs
+        cfg = cfg.replace(MAX_TOKEN=50, FRCNFEAT_LEN=36, SCORES_LOSS="bce",
+                          DATASET=getattr(args, "DATASET", "flickr") or "flickr")
+        if not search:
+            cfg = cfg.replace(NET_LR_BASE=0.00015, NET_LR_DECAY_LIST=(36,),
+                              MAX_EPOCH=100)
     overrides = {}
     for f in dataclasses.fields(cls):
         if hasattr(args, f.name) and getattr(args, f.name) is not None:

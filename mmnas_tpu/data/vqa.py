@@ -1,0 +1,155 @@
+"""VQA-v2 dataset (rebuild of mmnas/loader/load_data_vqa.py DataSet).
+
+Feature engineering identical to the reference:
+  - bottom-up-attention region features from per-image npz ('x' [2048,k]
+    transposed, 'bbox', 'image_h/w'), padded to FRCNFEAT_LEN x 2048
+    (load_data_vqa.py:224-239);
+  - vocab built by scanning ALL question splits (train/val/test/vg) in
+    first-seen order (:142-172), GloVe via the offline cache
+    (data/vocab.py);
+  - answer vocab = normalized answers with frequency > 8 (:175-196);
+  - soft answer scores 0/.3/.6/.9/1 by annotator count (:299-330);
+  - geometry relation tensor [L,L,4] and question semantic relation
+    tensor [14,14,3] from data/relations.py (the reference computes these
+    per item per epoch in loader workers; identical math here).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+from mmnas_tpu.data.relations import relation_embedding, semantic_embedding
+from mmnas_tpu.data.vgd import norm_bbox_feat, pad_feat
+from mmnas_tpu.data.vocab import build_vocab_from_questions, tokenize_question
+from mmnas_tpu.utils.answer_norm import preprocess_answer
+
+
+def get_score(occur: int) -> float:
+    """Soft VQA answer score by annotator count (load_data_vqa.py:287-297)."""
+    return {0: 0.0, 1: 0.3, 2: 0.6, 3: 0.9}.get(occur, 1.0)
+
+
+class VqaDataset:
+    def __init__(self, cfg, run_mode: str):
+        self.cfg = cfg
+        self.run_mode = run_mode
+        from mmnas_tpu.data.paths import VqaPaths
+        paths = VqaPaths(cfg.DATA_ROOT)
+        qp = paths.question_paths()
+
+        frcn_paths = []
+        for d in paths.imgfeat_dirs().values():
+            frcn_paths += glob.glob(os.path.join(d, "*.npz"))
+        self.iid_to_path = {
+            str(int(os.path.basename(p).split("_")[-1].split(".")[0])): p
+            for p in frcn_paths}
+
+        def load_questions(key):
+            with open(qp[key]) as f:
+                return json.load(f)[
+                    "questions" if "anno" not in key else "annotations"]
+
+        stat_ques = (load_questions("train") + load_questions("val")
+                     + load_questions("test") + load_questions("vg"))
+        stat_ans = load_questions("train-anno") + load_questions("val-anno")
+
+        split_map = {"train": cfg.TRAIN_SPLIT, "val": "val", "test": "test"}
+        self.ques_list, self.ans_list = [], []
+        for split in split_map[run_mode].split("+"):
+            self.ques_list += load_questions(split)
+            if run_mode == "train":
+                self.ans_list += load_questions(split + "-anno")
+        self.data_size = (len(self.ans_list) if run_mode == "train"
+                          else len(self.ques_list))
+
+        self.qid_to_ques = {str(q["question_id"]): q for q in self.ques_list}
+
+        self.token_to_ix, self.pretrained_emb = build_vocab_from_questions(
+            (q["question"] for q in stat_ques), cfg, cache_name="vqa")
+        self.token_size = len(self.token_to_ix)
+
+        # answer vocab: normalized answers with freq > 8 (:175-196)
+        freq: Dict[str, int] = {}
+        for ans in stat_ans:
+            a = preprocess_answer(ans["multiple_choice_answer"])
+            freq[a] = freq.get(a, 0) + 1
+        self.ans_to_ix, self.ix_to_ans = {}, {}
+        for a, c in freq.items():
+            if c > 8:
+                self.ix_to_ans[len(self.ans_to_ix)] = a
+                self.ans_to_ix[a] = len(self.ans_to_ix)
+        self.ans_size = len(self.ans_to_ix)
+
+        # eval-side metadata (engine/vqa.py result dump + VQAEval)
+        if run_mode == "train":
+            self.qid_list = [a["question_id"] for a in self.ans_list]
+        else:
+            self.qid_list = [q["question_id"] for q in self.ques_list]
+        split0 = split_map[run_mode].split("+")[0]
+        self.ques_path = qp.get(split0)
+        self.anno_path = qp.get(split0 + "-anno")
+        self.has_annotations = bool(self.anno_path and os.path.exists(self.anno_path))
+
+    def __len__(self):
+        return self.data_size
+
+    def proc_ques(self, ques: dict) -> np.ndarray:
+        T = self.cfg.MAX_TOKEN
+        out = np.zeros(T, np.int64)
+        for ix, w in enumerate(tokenize_question(ques["question"])):
+            out[ix] = self.token_to_ix.get(w, self.token_to_ix["UNK"])
+            if ix + 1 == T:
+                break
+        return out
+
+    def proc_ans(self, ans: dict) -> np.ndarray:
+        score = np.zeros(self.ans_size, np.float32)
+        counts: Dict[str, int] = {}
+        for a in ans["answers"]:
+            ap = preprocess_answer(a["answer"])
+            counts[ap] = counts.get(ap, 0) + 1
+        for a, c in counts.items():
+            if a in self.ans_to_ix:
+                score[self.ans_to_ix[a]] = get_score(c)
+        return score
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        if self.run_mode == "train":
+            ans = self.ans_list[idx]
+            ques = self.qid_to_ques[str(ans["question_id"])]
+            iid = str(ans["image_id"])
+            ans_iter = self.proc_ans(ans)
+        else:
+            ques = self.ques_list[idx]
+            iid = str(ques["image_id"])
+            ans_iter = np.zeros(self.ans_size, np.float32)
+
+        ques_ix = self.proc_ques(ques)
+        n_words = len(tokenize_question(ques["question"]))
+        rel_ques = semantic_embedding(n_words, ques_ix, self.pretrained_emb,
+                                      cfg.MAX_TOKEN)
+
+        feat = np.load(self.iid_to_path[iid])
+        fx = feat["x"].transpose((1, 0)).astype(np.float32)
+        frcn = pad_feat(fx, cfg.FRCNFEAT_LEN)
+        img_h, img_w = float(feat["image_h"]), float(feat["image_w"])
+        bbox = feat["bbox"].astype(np.float32)
+        bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
+        rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
+        k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
+        rel_img[:k, :k] = relation_embedding(bbox[:k])
+
+        return {
+            "frcn_feat": frcn,
+            "bbox_feat": bbox_feat,
+            "rel_img": rel_img,
+            "ques_ix": ques_ix,
+            "ans": ans_iter,
+            "rel_ques": rel_ques,
+        }

@@ -1,0 +1,342 @@
+"""ITM (image-text matching) execution engine (rebuild of train_itm.py).
+
+Three TPU-native re-designs over the reference:
+
+1. Triplet train step (train_itm.py:381-397): the three forwards (positive
+   pair, hard-negative caption, hard-negative image) run inside ONE jitted
+   program sharing a compiled graph; BCE/margin triplet loss per
+   utils/itm_loss.py.
+
+2. Hard-negative mining (train_itm.py:299-363): the reference's DataSet_Neg
+   worker processes re-assemble 64-candidate batches on the host per item.
+   Here the WHOLE corpus (all caption token tensors + all image features)
+   is resident on device once per epoch, and a jitted scorer gathers
+   (image, caption) index pairs on device — the host only supplies index
+   arrays. Top-NEG_HARDSIZE selection runs on device too.
+
+3. R@K eval (train_itm.py:461-546): the n_imgs x n_caps score matrix is
+   computed in jitted (image-block x caption-block) tiles from the same
+   device-resident corpus; i2t/t2i recall formulas are identical.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmnas_tpu.data.loader import Loader
+from mmnas_tpu.data.sampler import SubsetShardSampler
+from mmnas_tpu.engine.vqa import Execution as VqaExecution
+from mmnas_tpu.genotype import load_genotype
+from mmnas_tpu.models.net import NetFull
+from mmnas_tpu.parallel import mesh as pmesh
+from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint, save_checkpoint
+from mmnas_tpu.train.optimizer import WarmupAdam, clip_by_global_norm
+from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
+from mmnas_tpu.utils.logger import is_writer
+
+
+class Execution(VqaExecution):
+
+    # ------------------------------------------------------------------ data
+    def build_dataset(self, run_mode: str):
+        cfg = self.cfg
+        if cfg.SYNTH:
+            from mmnas_tpu.data.synth import SynthItmDataset
+            return SynthItmDataset(cfg, size=cfg.SYNTH_SIZE, seed=cfg.SEED,
+                                   run_mode=run_mode)
+        from mmnas_tpu.data.itm import ItmDataset
+        return ItmDataset(cfg, run_mode)
+
+    def build_net(self, dataset) -> NetFull:
+        cfg = self.cfg
+        genotype = load_genotype(cfg.ARCH_PATH, cfg.GENO_EPOCH)
+        init_dict = {
+            "token_size": dataset.token_size,
+            "ans_size": 1,
+            "pretrained_emb": getattr(dataset, "pretrained_emb", None),
+        }
+        return NetFull(cfg, genotype, init_dict, task="itm")
+
+    # ------------------------------------------------------------ train step
+    def make_train_step(self, net: NetFull, optim: WarmupAdam):
+        cfg = self.cfg
+        n_shards = self.n_shards
+        loss_fn_triplet = (bce_triplet_loss if cfg.SCORES_LOSS == "bce"
+                           else margin_triplet_loss)
+
+        def loss_fn(params, batch, rng):
+            pos = {k: batch[k] for k in
+                   ("frcn_feat", "bbox_feat", "rel_img", "ques_ix", "rel_ques")}
+            negc = dict(pos, ques_ix=batch["neg_ques_ix"],
+                        rel_ques=batch["neg_rel_ques"])
+            negi = dict(pos, frcn_feat=batch["neg_frcn_feat"],
+                        bbox_feat=batch["neg_bbox_feat"],
+                        rel_img=batch["neg_rel_img"])
+            k1, k2, k3 = jax.random.split(rng, 3)
+            s_pos = net.apply(params, pos, train=True, rng=k1)
+            s_negc = net.apply(params, negc, train=True, rng=k2)
+            s_negi = net.apply(params, negi, train=True, rng=k3)
+            if cfg.SCORES_LOSS == "bce":
+                return loss_fn_triplet(s_pos, s_negc, s_negi,
+                                       double_pos=cfg.ITM_DOUBLE_POS)
+            return loss_fn_triplet(s_pos, s_negc, s_negi)
+
+        def step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
+            if cfg.NET_GRAD_CLIP > 0:
+                grads, _ = clip_by_global_norm(grads, cfg.NET_GRAD_CLIP)
+            params, opt_state, lr = optim.step(opt_state, params, grads)
+            return params, opt_state, loss, lr
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # --------------------------------------------------- device-side scoring
+    def make_pair_scorer(self, net: NetFull):
+        """(params, corpus, img_idx [P], cap_idx [P]) -> scores [P];
+        gathers happen on device from the resident corpus."""
+
+        def score(params, corpus, img_idx, cap_idx):
+            batch = {
+                "frcn_feat": corpus["frcn_feat"][img_idx],
+                "bbox_feat": corpus["bbox_feat"][img_idx],
+                "rel_img": corpus["rel_img"][img_idx],
+                "ques_ix": corpus["caps"][cap_idx],
+                "rel_ques": jnp.zeros(
+                    (img_idx.shape[0], corpus["caps"].shape[1],
+                     corpus["caps"].shape[1], 3), jnp.float32),
+            }
+            return net.apply(params, batch, train=False)
+
+        return jax.jit(score)
+
+    def device_corpus(self, dataset) -> Dict[str, jnp.ndarray]:
+        caps, _ = dataset.get_all_caps()
+        frcn, bbox_feat, rel = dataset.get_all_imgs()
+        return {
+            "caps": jnp.asarray(caps),
+            "frcn_feat": jnp.asarray(frcn),
+            "bbox_feat": jnp.asarray(bbox_feat),
+            "rel_img": jnp.asarray(rel),
+        }
+
+    # ---------------------------------------------------------------- mining
+    def mine_hard_negatives(self, net, params, dataset, scorer, corpus, epoch):
+        """Per-epoch corpus sweep (train_itm.py:299-363): for each image,
+        score NEG_RANDSIZE random captions (excluding its own 5) and keep
+        top NEG_HARDSIZE; symmetric for images per caption. Writes the
+        dataset's neg index tensors in place."""
+        cfg = self.cfg
+        n_caps = len(dataset)
+        n_imgs = n_caps // dataset.CAPS_PER_IMG
+        R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
+        rng = np.random.RandomState(cfg.SEED * 97 + epoch)
+        group = max(1, cfg.NEG_BATCHSIZE)  # items per jitted scorer call
+
+        def topk_from_scores(scores_flat, cand):
+            s = np.asarray(scores_flat).reshape(-1, R)
+            order = np.argsort(-s, axis=-1)[:, :H]
+            return np.take_along_axis(cand, order, axis=1)
+
+        # -- negative captions, per image
+        new_caps = np.zeros((n_imgs, H), np.int64)
+        for start in range(0, n_imgs, group):
+            idxs = np.arange(start, min(start + group, n_imgs))
+            g = len(idxs)
+            cand = rng.randint(0, n_caps, (g, R))
+            forbidden = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
+            while forbidden.any():  # resample collisions (train_itm loader :44-48)
+                cand[forbidden] = rng.randint(0, n_caps, int(forbidden.sum()))
+                forbidden = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
+            img_pairs = np.repeat(idxs, R)
+            pad = group * R - g * R
+            if pad:
+                img_pairs = np.pad(img_pairs, (0, pad))
+            cap_pairs = cand.reshape(-1)
+            if pad:
+                cap_pairs = np.pad(cap_pairs, (0, pad))
+            scores = scorer(params, corpus, jnp.asarray(img_pairs),
+                            jnp.asarray(cap_pairs))
+            new_caps[idxs] = topk_from_scores(
+                np.asarray(scores)[:g * R], cand)
+        dataset.neg_caps_idx_tensor = new_caps
+
+        # -- negative images, per caption
+        new_imgs = np.zeros((n_caps, H), np.int64)
+        for start in range(0, n_caps, group):
+            idxs = np.arange(start, min(start + group, n_caps))
+            g = len(idxs)
+            cand = rng.randint(0, n_imgs, (g, R))
+            forbidden = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
+            while forbidden.any():
+                cand[forbidden] = rng.randint(0, n_imgs, int(forbidden.sum()))
+                forbidden = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
+            cap_pairs = np.repeat(idxs, R)
+            img_pairs = cand.reshape(-1)
+            pad = group * R - g * R
+            if pad:
+                cap_pairs = np.pad(cap_pairs, (0, pad))
+                img_pairs = np.pad(img_pairs, (0, pad))
+            scores = scorer(params, corpus, jnp.asarray(img_pairs),
+                            jnp.asarray(cap_pairs))
+            new_imgs[idxs] = topk_from_scores(np.asarray(scores)[:g * R], cand)
+        dataset.neg_imgs_idx_tensor = new_imgs
+
+    # ----------------------------------------------------------------- train
+    def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):
+        cfg = self.cfg
+        dataset = train_loader.dataset
+        net = self.build_net(dataset)
+
+        epoch_steps = train_loader.steps_per_epoch()
+        optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
+                           cfg.NET_WEIGHT_DECAY, epoch_steps,
+                           warmup=cfg.NET_OPTIM_WARMUP)
+        params = net.init(jax.random.PRNGKey(cfg.SEED))
+        opt_state = optim.init(params)
+        start_epoch = 0
+        if cfg.RESUME:
+            ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
+            params, opt_state = ckpt["state_dict"], ckpt["net_optim"]
+            start_epoch = ckpt["epoch"]
+            opt_state = WarmupAdam.set_start_step(opt_state, start_epoch * epoch_steps)
+
+        params = pmesh.replicate(self.mesh, params)
+        opt_state = pmesh.replicate(self.mesh, opt_state)
+        train_step = self.make_train_step(net, optim)
+        scorer = self.make_pair_scorer(net)
+        corpus = self.device_corpus(dataset)  # resident for mining
+
+        step_key = jax.random.PRNGKey(cfg.SEED + 1)
+        global_step = start_epoch * epoch_steps
+        history = []
+
+        for epoch in range(start_epoch, cfg.MAX_EPOCH):
+            self.logger.stamp()
+            if epoch % cfg.NEG_NEPOCH == 0 and epoch >= cfg.NEG_START_EPOCH:
+                t0 = time.time()
+                self.mine_hard_negatives(net, params, dataset, scorer,
+                                         corpus, epoch)
+                if is_writer():
+                    print(f"hard-negative mining: {time.time() - t0:.1f}s")
+            elif epoch < cfg.NEG_START_EPOCH:
+                dataset.shuffle_neg_idx()
+
+            train_loader.sampler.set_epoch(epoch)
+            if epoch in tuple(cfg.NET_LR_DECAY_LIST):
+                opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
+
+            loss_sum, lr, t0 = 0.0, 0.0, time.time()
+            for step, batch in enumerate(train_loader):
+                sb = pmesh.shard_batch(self.mesh, batch)
+                rng = jax.random.fold_in(step_key, global_step)
+                params, opt_state, loss, lr = train_step(params, opt_state, sb, rng)
+                global_step += 1
+                loss_sum += float(loss)
+
+            epoch_finish = epoch + 1
+            n_seen = epoch_steps * self.global_batch()
+            msg = (f"epoch = {epoch_finish}  loss = {loss_sum / max(n_seen,1):.6f}  "
+                   f"lr = {float(lr):.8f}  epoch_s = {time.time() - t0:.1f}")
+            print(msg)
+            self.logger.write(msg)
+            history.append(loss_sum / max(n_seen, 1))
+
+            if is_writer():
+                save_checkpoint(
+                    ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish),
+                    {"state_dict": params, "net_optim": opt_state,
+                     "epoch": epoch_finish})
+            if eval_loader is not None and cfg.EVAL_EVERY_EPOCH:
+                self.eval(eval_loader, net=net, params=params, valid=True)
+        return params, net, history
+
+    # ------------------------------------------------------------------ eval
+    def eval(self, eval_loader: Loader, net: Optional[NetFull] = None,
+             params=None, valid: bool = False):
+        """Full cross-modal score matrix + i2t/t2i R@K
+        (train_itm.py:461-546)."""
+        cfg = self.cfg
+        dataset = eval_loader.dataset
+        if net is None:
+            net = self.build_net(dataset)
+        if params is None:
+            ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
+            params = pmesh.replicate(self.mesh, ckpt["state_dict"])
+
+        scorer = self.make_pair_scorer(net)
+        corpus = self.device_corpus(dataset)
+        n_caps = len(dataset)
+        n_imgs = n_caps // dataset.CAPS_PER_IMG
+
+        bs_pairs = cfg.EVAL_BATCH_SIZE * 2 * max(1, self.n_shards)
+        score_mat = np.zeros((n_imgs, n_caps), np.float32)
+        pairs_i, pairs_c = np.meshgrid(np.arange(n_imgs), np.arange(n_caps),
+                                       indexing="ij")
+        pairs_i, pairs_c = pairs_i.reshape(-1), pairs_c.reshape(-1)
+        total = len(pairs_i)
+        for start in range(0, total, bs_pairs):
+            ii = pairs_i[start:start + bs_pairs]
+            cc = pairs_c[start:start + bs_pairs]
+            pad = bs_pairs - len(ii)
+            if pad:
+                ii = np.pad(ii, (0, pad))
+                cc = np.pad(cc, (0, pad))
+            s = np.asarray(scorer(params, corpus, jnp.asarray(ii), jnp.asarray(cc)))
+            if pad:
+                s = s[:-pad]
+            score_mat.reshape(-1)[start:start + len(s)] = s
+
+        if not is_writer():
+            return None
+        stats = recall_metrics(score_mat)
+        msg_i = ("i2t results: %.02f %.02f %.02f %.02f %.02f" %
+                 (stats["i2t_r1"], stats["i2t_r5"], stats["i2t_r10"],
+                  stats["i2t_medr"], stats["i2t_meanr"]))
+        msg_t = ("t2i results: %.02f %.02f %.02f %.02f %.02f" %
+                 (stats["t2i_r1"], stats["t2i_r5"], stats["t2i_r10"],
+                  stats["t2i_medr"], stats["t2i_meanr"]))
+        print(msg_i)
+        print(msg_t)
+        self.logger.write(msg_i)
+        self.logger.write(msg_t)
+        return stats
+
+
+def recall_metrics(score_matrix: np.ndarray) -> Dict[str, float]:
+    """i2t / t2i R@1/5/10 + median/mean rank; ground truth = captions
+    [5i, 5i+5) for image i (train_itm.py:506-546)."""
+    npts = score_matrix.shape[0]
+    ranks_i = np.full(npts, 1e7)
+    for i in range(npts):
+        order = np.argsort(score_matrix[i])[::-1]
+        hits = np.where((order >= 5 * i) & (order < 5 * i + 5))[0]
+        if hits.size:
+            ranks_i[i] = hits[0]
+    tm = score_matrix.T
+    ranks_c = np.full(npts * 5, 1e7)
+    for c in range(5 * npts):
+        order = np.argsort(tm[c])[::-1]
+        hits = np.where(order == c // 5)[0]
+        if hits.size:
+            ranks_c[c] = hits[0]
+
+    def stats(r):
+        return (100.0 * np.mean(r < 1), 100.0 * np.mean(r < 5),
+                100.0 * np.mean(r < 10), float(np.floor(np.median(r)) + 1),
+                float(r.mean() + 1))
+
+    i2t = stats(ranks_i)
+    t2i = stats(ranks_c)
+    return {
+        "i2t_r1": i2t[0], "i2t_r5": i2t[1], "i2t_r10": i2t[2],
+        "i2t_medr": i2t[3], "i2t_meanr": i2t[4],
+        "t2i_r1": t2i[0], "t2i_r5": t2i[1], "t2i_r10": t2i[2],
+        "t2i_medr": t2i[3], "t2i_meanr": t2i[4],
+    }

@@ -1,0 +1,155 @@
+"""ITM task tests: triplet losses vs torch oracles, R@K metric golden
+cases, device-side mining correctness, and the triplet train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmnas_tpu.config import Cfg
+from mmnas_tpu.data.loader import _stack
+from mmnas_tpu.data.synth import SynthItmDataset
+from mmnas_tpu.engine.itm import Execution, recall_metrics
+from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
+
+
+def tiny_cfg(**kw):
+    base = dict(TASK="itm", SYNTH=True, HSIZE=64, ATTFLAT_OUT_SIZE=128,
+                ATTFLAT_MLP_SIZE=32, REL_SIZE=16, FRCNFEAT_LEN=8,
+                FRCNFEAT_SIZE=16, WORD_EMBED_SIZE=12, MAX_TOKEN=10,
+                SCORES_LOSS="bce", NEG_RANDSIZE=6, NEG_HARDSIZE=2,
+                NEG_BATCHSIZE=4, DROPOUT_R=0.0, BATCH_SIZE=4,
+                EVAL_BATCH_SIZE=4, NUM_WORKERS=1, N_DEVICES=1)
+    base.update(kw)
+    return Cfg(**base)
+
+
+def test_bce_triplet_loss_vs_torch():
+    import torch
+    r = np.random.RandomState(0)
+    pos = r.uniform(0.01, 0.99, 8).astype(np.float32)
+    negc = r.uniform(0.01, 0.99, 8).astype(np.float32)
+    negi = r.uniform(0.01, 0.99, 8).astype(np.float32)
+    bce = torch.nn.BCELoss(reduction="sum")
+    tp, tc, ti = map(torch.from_numpy, (pos, negc, negi))
+    l_pos = bce(tp, torch.ones_like(tp))
+    l_negc = bce(tc, torch.zeros_like(tc))
+    l_negi = bce(ti, torch.zeros_like(ti))
+    # reference double-counts loss_pos (itm_loss.py:22)
+    want = (l_pos + l_negc + l_pos + l_negi).item()
+    got = float(bce_triplet_loss(jnp.asarray(pos), jnp.asarray(negc),
+                                 jnp.asarray(negi), double_pos=True))
+    assert abs(got - want) < 1e-3
+    got1 = float(bce_triplet_loss(jnp.asarray(pos), jnp.asarray(negc),
+                                  jnp.asarray(negi), double_pos=False))
+    assert abs(got1 - (l_pos + l_negc + l_negi).item()) < 1e-3
+
+
+def test_margin_triplet_loss_vs_torch():
+    import torch
+    r = np.random.RandomState(1)
+    pos, negc, negi = [r.uniform(0, 1, 6).astype(np.float32) for _ in range(3)]
+    tp, tc, ti = map(torch.from_numpy, (pos, negc, negi))
+    want = ((0.2 + tc - tp).clamp(min=0).sum()
+            + (0.2 + ti - tp).clamp(min=0).sum()).item()
+    got = float(margin_triplet_loss(jnp.asarray(pos), jnp.asarray(negc),
+                                    jnp.asarray(negi)))
+    assert abs(got - want) < 1e-4
+
+
+def test_recall_metrics_perfect():
+    """Score matrix where each image's own 5 captions rank on top."""
+    n = 6
+    m = np.random.RandomState(2).rand(n, 5 * n).astype(np.float32) * 0.1
+    for i in range(n):
+        m[i, 5 * i:5 * i + 5] += 10.0
+    s = recall_metrics(m)
+    assert s["i2t_r1"] == 100.0 and s["t2i_r1"] == 100.0
+    assert s["i2t_medr"] == 1.0 and s["t2i_medr"] == 1.0
+
+
+def test_recall_metrics_known_ranks():
+    """Image 0's best own-caption sits at rank 2 (0-indexed) -> misses R@1,
+    counts for R@5."""
+    n = 4
+    m = np.zeros((n, 20), np.float32)
+    for i in range(1, n):
+        m[i, 5 * i] = 10.0       # perfect for images 1..3
+    m[0, 7] = 10.0               # two foreign captions above own
+    m[0, 12] = 9.0
+    m[0, 0] = 8.0                # own caption at rank 2
+    s = recall_metrics(m)
+    assert s["i2t_r1"] == 75.0
+    assert s["i2t_r5"] == 100.0
+
+
+@pytest.fixture(scope="module")
+def itm_setup():
+    cfg = tiny_cfg()
+    ex = Execution(cfg.replace(SYNTH_SIZE=20))
+    ds = SynthItmDataset(cfg, size=20, token_size=32, seed=0)
+    net = ex.build_net(ds)
+    params = net.init(jax.random.PRNGKey(0))
+    return cfg, ex, ds, net, params
+
+
+def test_synth_itm_shapes(itm_setup):
+    cfg, ex, ds, net, params = itm_setup
+    it = ds[0]
+    assert it["frcn_feat"].shape == (8, 16)
+    assert it["ques_ix"].shape == (10,)
+    assert it["neg_frcn_feat"].shape == (8, 16)
+    caps, rel = ds.get_all_caps()
+    assert caps.shape == (20, 10) and rel.shape == (20, 10, 10, 3)
+    frcn, bb, r = ds.get_all_imgs()
+    assert frcn.shape == (4, 8, 16)
+
+
+def test_triplet_train_step_decreases_loss(itm_setup):
+    cfg, ex, ds, net, params = itm_setup
+    from mmnas_tpu.train.optimizer import WarmupAdam
+    optim = WarmupAdam(1e-3, epoch_steps=1, warmup=False)
+    # the train step donates its params buffer; work on a copy so the
+    # module-scoped fixture params stay alive for later tests
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    opt_state = optim.init(params)
+    step = ex.make_train_step(net, optim)
+    batch = {k: jnp.asarray(v) for k, v in _stack([ds[i] for i in range(4)]).items()}
+    losses = []
+    for i in range(6):
+        params, opt_state, loss, _ = step(params, opt_state, batch,
+                                          jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_mining_selects_top_scoring_negatives(itm_setup):
+    """The mining sweep must (a) avoid each item's own pairs and (b) return
+    candidates ranked by the scorer."""
+    cfg, ex, ds, net, params = itm_setup
+    scorer = ex.make_pair_scorer(net)
+    corpus = ex.device_corpus(ds)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=0)
+
+    n_caps, n_imgs = len(ds), len(ds) // 5
+    assert ds.neg_caps_idx_tensor.shape == (n_imgs, cfg.NEG_HARDSIZE)
+    assert ds.neg_imgs_idx_tensor.shape == (n_caps, cfg.NEG_HARDSIZE)
+    for i in range(n_imgs):  # no own captions among negatives
+        own = set(range(5 * i, 5 * i + 5))
+        assert not (set(ds.neg_caps_idx_tensor[i].tolist()) & own)
+    for c in range(n_caps):  # no own image among negatives
+        assert (c // 5) not in set(ds.neg_imgs_idx_tensor[c].tolist())
+
+    # ranking check: mined negs for image 0 must score >= the median of a
+    # random candidate pool under the same scorer
+    import jax.numpy as jnp2
+    cand = np.arange(5, n_caps)
+    s_all = np.asarray(scorer(params, corpus,
+                              jnp2.zeros(len(cand), jnp2.int32),
+                              jnp2.asarray(cand)))
+    mined = ds.neg_caps_idx_tensor[0]
+    mined_scores = np.asarray(scorer(params, corpus,
+                                     jnp2.zeros(len(mined), jnp2.int32),
+                                     jnp2.asarray(mined)))
+    assert mined_scores.min() >= np.median(s_all) - 1e-6
