@@ -53,6 +53,16 @@ class SearchExecution:
         """BCEWithLogits sum (search_vqa.py:211,282)."""
         return bce_with_logits_sum(pred, batch["ans"])
 
+    def forward_loss(self, net, params, alpha, batch, idx, mode, rng):
+        """One supernet forward + task loss; ITM overrides this with its
+        triplet of forwards (search_itm.py:399-423)."""
+        pred = net.apply(params, alpha, batch, idx, mode=mode,
+                         train=True, rng=rng)
+        return self.loss(pred, batch)
+
+    def on_epoch_start(self, net, params, alpha, dataset, epoch):
+        """Per-epoch task hook; default no-op."""
+
     def eval_metric(self, preds: np.ndarray, batches) -> Optional[float]:
         scores = np.concatenate([b["ans"] for b in batches])[:len(preds)]
         return float(np.mean(scores[np.arange(len(preds)), preds]))
@@ -77,9 +87,8 @@ class SearchExecution:
             idx = net.sample_indices(k_sample, alpha)
 
             def loss_fn(p):
-                pred = net.apply(p, alpha, batch, idx, mode="sampled",
-                                 train=True, rng=k_drop)
-                return self.loss(pred, batch)
+                return self.forward_loss(net, p, alpha, batch, idx,
+                                         "sampled", k_drop)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
@@ -99,9 +108,8 @@ class SearchExecution:
             idx = net.sample_indices(k_sample, alpha)
 
             def loss_fn(a):
-                pred = net.apply(params, a, batch, idx, mode="full",
-                                 train=True, rng=k_drop)
-                return self.loss(pred, batch)
+                return self.forward_loss(net, params, a, batch, idx,
+                                         "full", k_drop)
 
             loss, grads = jax.value_and_grad(loss_fn)(alpha)
             # DDP averages the gate grads before the Jacobian map
@@ -165,6 +173,8 @@ class SearchExecution:
 
         for epoch in range(start_epoch, cfg.MAX_EPOCH):
             self.logger.stamp()
+            # task hook (ITM hard-negative mining, search_itm.py:266-357)
+            self.on_epoch_start(net, params, alpha, dataset, epoch)
             train_loader.sampler.set_epoch(epoch)
             eval_loader.sampler.set_epoch(epoch)
             eval_loader.sampler.set_shuffle(True)

@@ -1,0 +1,191 @@
+"""ITM supernet search engine (rebuild of search_itm.py Execution).
+
+On top of the shared bilevel loop (engine/search.py):
+  - triplet forward per step: positive, hard-negative caption, hard-negative
+    image through the SAME sampled path (search_itm.py:399-423);
+  - per-epoch hard-negative mining with a randomly sampled supernet path
+    (search_itm.py:267-270 sets MODE=None + reset_binary_gates before the
+    sweep) over the device-resident corpus (see engine/itm.py);
+  - eval on the SEPARATE dev split with full score-matrix R@K over the
+    argmax alpha path (search_itm.py:533-534, :663-671);
+  - weight/arch bilevel split is 80/20 of the train captions
+    (search_itm.py:636-658).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmnas_tpu.data.loader import Loader
+from mmnas_tpu.data.sampler import SubsetShardSampler
+from mmnas_tpu.engine.itm import recall_metrics
+from mmnas_tpu.engine.search import SearchExecution as SearchBase
+from mmnas_tpu.models.supernet import NetSearch
+from mmnas_tpu.parallel import mesh as pmesh
+from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
+from mmnas_tpu.utils.logger import is_writer
+
+
+class SearchExecution(SearchBase):
+    TASK = "itm"
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self._mining_state = None  # (scorer, corpus) built lazily in search
+
+    def build_dataset(self):
+        cfg = self.cfg
+        if cfg.SYNTH:
+            from mmnas_tpu.data.synth import SynthItmDataset
+            return SynthItmDataset(cfg, size=cfg.SYNTH_SIZE, seed=cfg.SEED,
+                                   run_mode="train")
+        from mmnas_tpu.data.itm import ItmDataset
+        return ItmDataset(cfg, "train")
+
+    def build_eval_dataset(self):
+        cfg = self.cfg
+        if cfg.SYNTH:
+            from mmnas_tpu.data.synth import SynthItmDataset
+            return SynthItmDataset(cfg, size=max(20, cfg.SYNTH_SIZE // 4),
+                                   seed=cfg.SEED + 1, run_mode="val")
+        from mmnas_tpu.data.itm import ItmDataset
+        return ItmDataset(cfg, "val")
+
+    # ---- triplet loss over the supernet ------------------------------------
+    def forward_loss(self, net, params, alpha, batch, idx, mode, rng):
+        cfg = self.cfg
+        pos = {k: batch[k] for k in
+               ("frcn_feat", "bbox_feat", "rel_img", "ques_ix", "rel_ques")}
+        negc = dict(pos, ques_ix=batch["neg_ques_ix"],
+                    rel_ques=batch["neg_rel_ques"])
+        negi = dict(pos, frcn_feat=batch["neg_frcn_feat"],
+                    bbox_feat=batch["neg_bbox_feat"],
+                    rel_img=batch["neg_rel_img"])
+        k1, k2, k3 = jax.random.split(rng, 3)
+        s_pos = net.apply(params, alpha, pos, idx, mode=mode, train=True, rng=k1)
+        s_negc = net.apply(params, alpha, negc, idx, mode=mode, train=True, rng=k2)
+        s_negi = net.apply(params, alpha, negi, idx, mode=mode, train=True, rng=k3)
+        if cfg.SCORES_LOSS == "bce":
+            return bce_triplet_loss(s_pos, s_negc, s_negi,
+                                    double_pos=cfg.ITM_DOUBLE_POS)
+        return margin_triplet_loss(s_pos, s_negc, s_negi)
+
+    # ---- supernet pair scorer (mining + eval) ------------------------------
+    def make_pair_scorer(self, net: NetSearch):
+        def score(params, alpha, corpus, idx, img_idx, cap_idx):
+            batch = {
+                "frcn_feat": corpus["frcn_feat"][img_idx],
+                "bbox_feat": corpus["bbox_feat"][img_idx],
+                "rel_img": corpus["rel_img"][img_idx],
+                "ques_ix": corpus["caps"][cap_idx],
+                "rel_ques": jnp.zeros(
+                    (img_idx.shape[0], corpus["caps"].shape[1],
+                     corpus["caps"].shape[1], 3), jnp.float32),
+            }
+            return net.apply(params, alpha, batch, idx, mode="sampled",
+                             train=False)
+        return jax.jit(score)
+
+    def device_corpus(self, dataset):
+        caps, _ = dataset.get_all_caps()
+        frcn, bbox_feat, rel = dataset.get_all_imgs()
+        return {"caps": jnp.asarray(caps), "frcn_feat": jnp.asarray(frcn),
+                "bbox_feat": jnp.asarray(bbox_feat), "rel_img": jnp.asarray(rel)}
+
+    def on_epoch_start(self, net, params, alpha, dataset, epoch):
+        """Hard-negative mining with a sampled path (search_itm.py:267-270)."""
+        cfg = self.cfg
+        if not (epoch % cfg.NEG_NEPOCH == 0 and epoch >= cfg.NEG_START_EPOCH):
+            if epoch < cfg.NEG_START_EPOCH:
+                dataset.shuffle_neg_idx()
+            return
+        if self._mining_state is None:
+            self._mining_state = (self.make_pair_scorer(net),
+                                  self.device_corpus(dataset))
+        scorer, corpus = self._mining_state
+        idx = net.sample_indices(jax.random.PRNGKey(cfg.SEED * 7 + epoch), alpha)
+
+        t0 = time.time()
+        n_caps = len(dataset)
+        n_imgs = n_caps // dataset.CAPS_PER_IMG
+        R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
+        rng = np.random.RandomState(cfg.SEED * 97 + epoch)
+        group = max(1, cfg.NEG_BATCHSIZE)
+
+        def sweep(n_items, n_cand_pool, per_img: bool):
+            out = np.zeros((n_items, H), np.int64)
+            for start in range(0, n_items, group):
+                idxs = np.arange(start, min(start + group, n_items))
+                g = len(idxs)
+                cand = rng.randint(0, n_cand_pool, (g, R))
+                if per_img:  # candidates are captions; avoid own 5
+                    bad = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
+                else:        # candidates are images; avoid own image
+                    bad = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
+                while bad.any():
+                    cand[bad] = rng.randint(0, n_cand_pool, int(bad.sum()))
+                    if per_img:
+                        bad = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
+                    else:
+                        bad = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
+                rep = np.repeat(idxs, R)
+                flat = cand.reshape(-1)
+                pad = group * R - g * R
+                if pad:
+                    rep = np.pad(rep, (0, pad))
+                    flat = np.pad(flat, (0, pad))
+                if per_img:
+                    s = scorer(params, alpha, corpus, idx,
+                               jnp.asarray(rep), jnp.asarray(flat))
+                else:
+                    s = scorer(params, alpha, corpus, idx,
+                               jnp.asarray(flat), jnp.asarray(rep))
+                s = np.asarray(s)[:g * R].reshape(g, R)
+                order = np.argsort(-s, axis=-1)[:, :H]
+                out[idxs] = np.take_along_axis(cand, order, axis=1)
+            return out
+
+        dataset.neg_caps_idx_tensor = sweep(n_imgs, n_caps, per_img=True)
+        dataset.neg_imgs_idx_tensor = sweep(n_caps, n_imgs, per_img=False)
+        if is_writer():
+            print(f"search mining: {time.time() - t0:.1f}s")
+
+    # ---- eval: R@K on dev with argmax path ---------------------------------
+    def eval(self, eval_loader, net: NetSearch, params, alpha):
+        cfg = self.cfg
+        dataset = getattr(self, "_eval_dataset", None)
+        if dataset is None:
+            dataset = self._eval_dataset = self.build_eval_dataset()
+            self._eval_corpus = self.device_corpus(dataset)
+            self._eval_scorer = self.make_pair_scorer(net)
+        corpus, scorer = self._eval_corpus, self._eval_scorer
+        idx = net.chosen_indices(alpha)
+
+        n_caps = len(dataset)
+        n_imgs = n_caps // dataset.CAPS_PER_IMG
+        bs_pairs = cfg.EVAL_BATCH_SIZE * 2 * max(1, self.n_shards)
+        score_mat = np.zeros((n_imgs, n_caps), np.float32)
+        pi, pc = np.meshgrid(np.arange(n_imgs), np.arange(n_caps), indexing="ij")
+        pi, pc = pi.reshape(-1), pc.reshape(-1)
+        for start in range(0, len(pi), bs_pairs):
+            ii, cc = pi[start:start + bs_pairs], pc[start:start + bs_pairs]
+            pad = bs_pairs - len(ii)
+            if pad:
+                ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
+            s = np.asarray(scorer(params, alpha, corpus, idx,
+                                  jnp.asarray(ii), jnp.asarray(cc)))
+            if pad:
+                s = s[:-pad]
+            score_mat.reshape(-1)[start:start + len(s)] = s
+        if not is_writer():
+            return None
+        stats = recall_metrics(score_mat)
+        print("search i2t R@1/5/10: %.02f %.02f %.02f" %
+              (stats["i2t_r1"], stats["i2t_r5"], stats["i2t_r10"]))
+        print("search t2i R@1/5/10: %.02f %.02f %.02f" %
+              (stats["t2i_r1"], stats["t2i_r5"], stats["t2i_r10"]))
+        return stats["i2t_r1"] / 100.0
