@@ -47,6 +47,9 @@ class SearchExecution:
         self.mesh = pmesh.get_mesh(cfg.N_DEVICES)
         self.n_shards = pmesh.data_axis_size(self.mesh)
         self.logger = TextLogger(cfg.LOG_ROOT, cfg.VERSION)
+        if cfg.USE_PALLAS:
+            from mmnas_tpu.ops import attention
+            attention.use_pallas(True)
 
     # ---- task hooks --------------------------------------------------------
     def loss(self, pred, batch):

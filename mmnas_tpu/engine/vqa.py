@@ -45,6 +45,9 @@ class Execution:
         self.mesh = pmesh.get_mesh(cfg.N_DEVICES)
         self.n_shards = pmesh.data_axis_size(self.mesh)
         self.logger = TextLogger(cfg.LOG_ROOT, cfg.VERSION)
+        if cfg.USE_PALLAS:
+            from mmnas_tpu.ops import attention
+            attention.use_pallas(True)
 
     # ------------------------------------------------------------------ data
     def build_dataset(self, run_mode: str):
