@@ -169,6 +169,9 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    help="override config MAX_EPOCH (0 = default)")
     p.add_argument("--USE_PALLAS", dest="USE_PALLAS", default=False,
                    action="store_true")
+    p.add_argument("--DTYPE", dest="DTYPE", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation/compute dtype (master weights stay fp32)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

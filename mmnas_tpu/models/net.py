@@ -36,6 +36,36 @@ from mmnas_tpu.ops.modules import OpCfg, attflat, attflat_init
 from mmnas_tpu.ops.registry import OPS_ADAPTER, make_op
 
 
+_INPUT_KEYS = ("frcn_feat", "bbox_feat", "rel_img", "rel_ques",
+               "neg_frcn_feat", "neg_bbox_feat", "neg_rel_img",
+               "neg_rel_ques")
+
+
+def cast_for_compute(cfg, params, batch):
+    """bf16 mixed precision: cast float params and model INPUTS (not the
+    supervision tensors) to bfloat16; LN stats and attention softmax stay
+    fp32 (ops/primitives.py, ops/attention.py); heads cast back to fp32.
+    Master weights/optimizer state remain fp32 in the train state."""
+    if cfg.DTYPE != "bfloat16":
+        return params, batch
+    bf = jnp.bfloat16
+
+    def cast(x):
+        return x.astype(bf) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    params = jax.tree_util.tree_map(cast, params)
+    batch = {k: (cast(v) if k in _INPUT_KEYS else v) for k, v in batch.items()}
+    return params, batch
+
+
+def cast_output(cfg, out):
+    if cfg.DTYPE != "bfloat16":
+        return out
+    if isinstance(out, tuple):
+        return tuple(o.astype(jnp.float32) for o in out)
+    return out.astype(jnp.float32)
+
+
 def op_cfg_from(cfg) -> OpCfg:
     return OpCfg(
         hsize=cfg.HSIZE,
@@ -229,6 +259,8 @@ class NetFull:
 
     def apply(self, params, batch, train: bool = False, rng=None):
         rngs = P.RngGen(rng)
+        params, batch = cast_for_compute(self.cfg, params, batch)
         x_out, y_out, x_mask, y_mask = self.trunk(params, batch, train, rngs)
-        return apply_heads(params, self.cfg, self.ocfg, self.task,
-                           x_out, y_out, x_mask, y_mask, train, rngs)
+        out = apply_heads(params, self.cfg, self.ocfg, self.task,
+                          x_out, y_out, x_mask, y_mask, train, rngs)
+        return cast_output(self.cfg, out)

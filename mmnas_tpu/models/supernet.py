@@ -160,6 +160,7 @@ class NetSearch:
             # only through the sampled branch; alpha grads see all branches.
             outs = [jnp.where(idx[ni] == j, o, jax.lax.stop_gradient(o))
                     for j, o in enumerate(outs)]
+            gates = gates.astype(outs[0].dtype)  # keep bf16 path bf16
             s = sum(gates[j] * outs[j] for j in range(n_choices))
         return s
 
@@ -168,6 +169,8 @@ class NetSearch:
         """mode 'sampled': execute only idx branches (weight step / eval).
         mode 'full': all branches, straight-through gates (arch step)."""
         rngs = P.RngGen(rng)
+        from mmnas_tpu.models.net import cast_for_compute, cast_output
+        params, batch = cast_for_compute(self.cfg, params, batch)
         x, y, x_mask, y_mask, x_rel, y_rel = apply_stem(
             params, self.cfg, batch, train, rngs)
 
@@ -188,8 +191,9 @@ class NetSearch:
         else:
             raise ValueError(f"unknown mode {mode!r}")
 
-        return apply_heads(params, self.cfg, self.ocfg, self.task,
-                           x, y, x_mask, y_mask, train, rngs)
+        out = apply_heads(params, self.cfg, self.ocfg, self.task,
+                          x, y, x_mask, y_mask, train, rngs)
+        return cast_output(self.cfg, out)
 
     # -- optimizer mask -----------------------------------------------------
 

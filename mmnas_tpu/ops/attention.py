@@ -41,11 +41,14 @@ def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *,
             return out
 
     d_k = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
+    # scores + softmax in float32 even for bf16 inputs (MXU accumulates
+    # fp32; softmax in bf16 loses mask fidelity)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if log_bias is not None:
-        scores = scores + log_bias
+        scores = scores + log_bias.astype(jnp.float32)
     scores = P.mask_scores(scores, mask)
     att = jax.nn.softmax(scores, axis=-1)
     if train and dropout_r > 0.0:
         att = P.dropout(rng, att, dropout_r, train)
-    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    return jnp.einsum("bhqk,bhkd->bhqd", att.astype(v.dtype), v)

@@ -50,12 +50,17 @@ def layernorm_init(size: int):
 
 def layernorm(p, x, eps: float = 1e-6):
     """Reference LayerNorm (modules.py:44-56): a*(x-mean)/(std+eps)+b with
-    the *unbiased* std (torch .std default) and eps added to std, not var."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    the *unbiased* std (torch .std default) and eps added to std, not var.
+    Statistics always compute in float32 (bf16 mixed-precision safety);
+    the result is cast back to the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
     n = x.shape[-1]
-    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
     std = jnp.sqrt(var)
-    return p["a"] * (x - mean) / (std + eps) + p["b"]
+    out = p["a"].astype(jnp.float32) * (xf - mean) / (std + eps) \
+        + p["b"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def dropout(rng, x, rate: float, train: bool):
