@@ -109,6 +109,9 @@ class Cfg:
     N_DEVICES: int = 0                # 0 = all visible devices
     DTYPE: str = "float32"            # compute dtype for activations
     USE_PALLAS: bool = False          # fused attention kernels
+    REMAT: bool = False               # jax.checkpoint candidate ops
+                                      # (trades recompute for memory in
+                                      # all-branch arch steps / big batches)
     EVAL_EVERY_EPOCH: bool = True
     STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
 
@@ -172,6 +175,8 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--DTYPE", dest="DTYPE", default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation/compute dtype (master weights stay fp32)")
+    p.add_argument("--REMAT", dest="REMAT", default=False, action="store_true",
+                   help="rematerialize candidate ops (memory for recompute)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

@@ -232,13 +232,14 @@ class Execution(VqaExecution):
             if epoch in tuple(cfg.NET_LR_DECAY_LIST):
                 opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
 
-            loss_sum, lr, t0 = 0.0, 0.0, time.time()
+            losses, lr, t0 = [], 0.0, time.time()
             for step, batch in enumerate(train_loader):
                 sb = pmesh.shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(step_key, global_step)
                 params, opt_state, loss, lr = train_step(params, opt_state, sb, rng)
                 global_step += 1
-                loss_sum += float(loss)
+                losses.append(loss)  # device-side; summed at epoch end
+            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
             epoch_finish = epoch + 1
             n_seen = epoch_steps * self.global_batch()

@@ -185,13 +185,13 @@ class SearchExecution:
                 opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
 
             eval_iter = iter(eval_loader)
-            loss_sum, lr, t0 = 0.0, 0.0, time.time()
+            losses, lr, t0 = [], 0.0, time.time()
             for step, batch in enumerate(train_loader):
                 sb = pmesh.shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss, lr = weight_step(
                     params, opt_state, alpha, sb, rng)
-                loss_sum += float(loss)
+                losses.append(loss)  # device-side; summed at epoch end
 
                 if (epoch >= cfg.ALPHA_START
                         and (step + 1) % cfg.ALPHA_EVERY == 0):
@@ -211,6 +211,7 @@ class SearchExecution:
 
             epoch_finish = epoch + 1
             dt = time.time() - t0
+            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             host_alpha = jax.tree_util.tree_map(np.asarray, alpha)
             genotype = net.genotype(host_alpha)
             weights = net.genotype_weights(host_alpha)

@@ -135,17 +135,19 @@ class Execution:
             if epoch in tuple(cfg.NET_LR_DECAY_LIST):
                 opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
 
-            loss_sum, t0 = 0.0, time.time()
+            # losses stay on device until epoch end: converting per step
+            # would host-sync every step and stall the dispatch pipeline
+            losses, t0 = [], time.time()
             lr = 0.0
             for step, batch in enumerate(train_loader):
                 batch = pmesh.shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(step_key, global_step)
                 params, opt_state, loss, lr = train_step(params, opt_state, batch, rng)
                 global_step += 1
-                loss_f = float(loss)
-                loss_sum += loss_f
+                losses.append(loss)
                 if cfg.DEBUG and is_writer():
-                    print(step, loss_f / self.global_batch())
+                    print(step, float(loss) / self.global_batch())
+            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
             epoch_finish = epoch + 1
             dt = time.time() - t0

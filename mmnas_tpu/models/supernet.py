@@ -150,12 +150,22 @@ class NetSearch:
                         pre_mask, rel, train, rngs):
         """All branches + straight-through one-hot gates (MODE='full')."""
         n_choices = len(nodes[0])
+        remat = getattr(self.cfg, "REMAT", False)
         for ni, (node, np_) in enumerate(zip(nodes, node_params)):
             p_soft = jax.nn.softmax(alpha[ni])
             gates = (jax.nn.one_hot(idx[ni], n_choices, dtype=p_soft.dtype)
                      + p_soft - jax.lax.stop_gradient(p_soft))
-            outs = [op.apply(p, s, pre, s_mask, pre_mask, rel, train, rngs)
-                    for op, p in zip(node, np_)]
+
+            def branch(op, p, x):
+                # close over train/rngs (RngGen is host state, not a pytree);
+                # under remat the SAME fold keys replay in the recompute
+                fn = lambda pp, xx: op.apply(pp, xx, pre, s_mask, pre_mask,
+                                             rel, train, rngs)
+                if remat:
+                    fn = jax.checkpoint(fn)
+                return fn(p, x)
+
+            outs = [branch(op, p, s) for op, p in zip(node, np_)]
             # inactive-branch detach (mixed.py:66-68): net-weight grads flow
             # only through the sampled branch; alpha grads see all branches.
             outs = [jnp.where(idx[ni] == j, o, jax.lax.stop_gradient(o))
