@@ -233,8 +233,8 @@ class Execution(VqaExecution):
                 opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
 
             losses, lr, t0 = [], 0.0, time.time()
-            for step, batch in enumerate(train_loader):
-                sb = pmesh.shard_batch(self.mesh, batch)
+            for step, sb in enumerate(
+                    pmesh.prefetch_to_device(train_loader, self.mesh)):
                 rng = jax.random.fold_in(step_key, global_step)
                 params, opt_state, loss, lr = train_step(params, opt_state, sb, rng)
                 global_step += 1

@@ -186,8 +186,8 @@ class SearchExecution:
 
             eval_iter = iter(eval_loader)
             losses, lr, t0 = [], 0.0, time.time()
-            for step, batch in enumerate(train_loader):
-                sb = pmesh.shard_batch(self.mesh, batch)
+            for step, sb in enumerate(
+                    pmesh.prefetch_to_device(train_loader, self.mesh)):
                 rng = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss, lr = weight_step(
                     params, opt_state, alpha, sb, rng)

@@ -139,8 +139,8 @@ class Execution:
             # would host-sync every step and stall the dispatch pipeline
             losses, t0 = [], time.time()
             lr = 0.0
-            for step, batch in enumerate(train_loader):
-                batch = pmesh.shard_batch(self.mesh, batch)
+            for step, batch in enumerate(
+                    pmesh.prefetch_to_device(train_loader, self.mesh)):
                 rng = jax.random.fold_in(step_key, global_step)
                 params, opt_state, loss, lr = train_step(params, opt_state, batch, rng)
                 global_step += 1

@@ -180,13 +180,19 @@ def lstm_init(key, input_size: int, hidden_size: int):
 
 
 def lstm(p, x):
-    """x: [B, L, D] -> outputs [B, L, H] (h0 = c0 = 0)."""
+    """x: [B, L, D] -> outputs [B, L, H] (h0 = c0 = 0).
+
+    TPU shape: the input projection for ALL timesteps is hoisted out of the
+    scan into one large [B*L, D] @ [D, 4H] matmul (MXU-friendly); the scan
+    body only carries the [B, H] recurrent matmul."""
     hsize = p["w_hh"].shape[0]
     B = x.shape[0]
 
-    def step(carry, xt):
+    x_proj = x @ p["w_ih"] + p["b_ih"]           # [B, L, 4H], one big matmul
+
+    def step(carry, xt_proj):
         h, c = carry
-        gates = xt @ p["w_ih"] + p["b_ih"] + h @ p["w_hh"] + p["b_hh"]
+        gates = xt_proj + h @ p["w_hh"] + p["b_hh"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -196,7 +202,7 @@ def lstm(p, x):
 
     h0 = jnp.zeros((B, hsize), x.dtype)
     c0 = jnp.zeros((B, hsize), x.dtype)
-    _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x, 0, 1))
+    _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(ys, 0, 1)
 
 

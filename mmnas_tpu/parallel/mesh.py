@@ -54,6 +54,27 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2):
+    """Wrap a host batch iterator: device_put each batch ahead of use so
+    H2D transfer overlaps the previous step's compute (the JAX dispatch is
+    async; keeping `size` batches in flight keeps the pipe full)."""
+    import collections
+    buf = collections.deque()
+    it = iter(batch_iter)
+    try:
+        for _ in range(size):
+            buf.append(shard_batch(mesh, next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(shard_batch(mesh, next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh (params, opt state)."""
     sh = NamedSharding(mesh, P())
