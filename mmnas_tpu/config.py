@@ -62,8 +62,11 @@ class Cfg:
     ATTFLAT_OUT_SIZE: int = 1024      # HSIZE * 2
     ATTFLAT_MLP_SIZE: int = 512
 
-    # optimizer (train_vqa.py:156-185): 'wadam' = Adam + step warmup
+    # optimizer (train_vqa.py:156-185): 'wadam' = Adam + step warmup,
+    # 'sgd' = momentum SGD + cosine annealing (train_vqa.py:163-170)
     NET_OPTIM: str = "wadam"
+    NET_MOMENTUM: float = 0.9
+    NET_LR_MIN: float = 0.004
     REDUCTION: str = "sum"
     NET_OPTIM_WARMUP: bool = True
     NET_LR_BASE: float = 0.00012

@@ -36,7 +36,9 @@ from mmnas_tpu.genotype import load_genotype
 from mmnas_tpu.models.net import NetFull
 from mmnas_tpu.parallel import mesh as pmesh
 from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint, save_checkpoint
-from mmnas_tpu.train.optimizer import WarmupAdam, clip_by_global_norm
+from mmnas_tpu.train.optimizer import (
+    WarmupAdam, build_net_optimizer, clip_by_global_norm,
+)
 from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
 from mmnas_tpu.utils.logger import is_writer
 
@@ -195,9 +197,7 @@ class Execution(VqaExecution):
         net = self.build_net(dataset)
 
         epoch_steps = train_loader.steps_per_epoch()
-        optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
-                           cfg.NET_WEIGHT_DECAY, epoch_steps,
-                           warmup=cfg.NET_OPTIM_WARMUP)
+        optim = build_net_optimizer(cfg, epoch_steps)
         params = net.init(jax.random.PRNGKey(cfg.SEED))
         opt_state = optim.init(params)
         start_epoch = 0
@@ -229,8 +229,7 @@ class Execution(VqaExecution):
                 dataset.shuffle_neg_idx()
 
             train_loader.sampler.set_epoch(epoch)
-            if epoch in tuple(cfg.NET_LR_DECAY_LIST):
-                opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
+            opt_state = optim.epoch_hook(opt_state, epoch)
 
             losses, lr, t0 = [], 0.0, time.time()
             for step, sb in enumerate(

@@ -34,7 +34,9 @@ from mmnas_tpu.genotype import append_genotype
 from mmnas_tpu.models.supernet import NetSearch
 from mmnas_tpu.parallel import mesh as pmesh
 from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint, save_checkpoint
-from mmnas_tpu.train.optimizer import WarmupAdam, clip_by_global_norm, plain_adam
+from mmnas_tpu.train.optimizer import (
+    WarmupAdam, build_net_optimizer, clip_by_global_norm, plain_adam,
+)
 from mmnas_tpu.utils.logger import TextLogger, is_writer
 from mmnas_tpu.engine.vqa import bce_with_logits_sum
 
@@ -143,9 +145,7 @@ class SearchExecution:
         net = NetSearch(cfg, init_dict, task=self.TASK)
 
         epoch_steps = train_loader.steps_per_epoch()
-        net_optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
-                               cfg.NET_WEIGHT_DECAY, epoch_steps,
-                               warmup=cfg.NET_OPTIM_WARMUP)
+        net_optim = build_net_optimizer(cfg, epoch_steps)
         alpha_optim = plain_adam(cfg.ALPHA_LR_BASE, cfg.ALPHA_OPT_BETAS,
                                  eps=1e-8, weight_decay=cfg.ALPHA_WEIGHT_DECAY)
 
@@ -181,8 +181,7 @@ class SearchExecution:
             train_loader.sampler.set_epoch(epoch)
             eval_loader.sampler.set_epoch(epoch)
             eval_loader.sampler.set_shuffle(True)
-            if epoch in tuple(cfg.NET_LR_DECAY_LIST):
-                opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
+            opt_state = net_optim.epoch_hook(opt_state, epoch)
 
             eval_iter = iter(eval_loader)
             losses, lr, t0 = [], 0.0, time.time()

@@ -27,7 +27,9 @@ from mmnas_tpu.genotype import load_genotype
 from mmnas_tpu.models.net import NetFull
 from mmnas_tpu.parallel import mesh as pmesh
 from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint, save_checkpoint
-from mmnas_tpu.train.optimizer import WarmupAdam, clip_by_global_norm
+from mmnas_tpu.train.optimizer import (
+    WarmupAdam, build_net_optimizer, clip_by_global_norm,
+)
 from mmnas_tpu.utils.logger import TextLogger, dump_result_json, is_writer
 
 
@@ -104,9 +106,7 @@ class Execution:
         net = self.build_net(dataset)
 
         epoch_steps = train_loader.steps_per_epoch()
-        optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
-                           cfg.NET_WEIGHT_DECAY, epoch_steps,
-                           warmup=cfg.NET_OPTIM_WARMUP)
+        optim = build_net_optimizer(cfg, epoch_steps)
 
         key = jax.random.PRNGKey(cfg.SEED)
         params = net.init(key)
@@ -132,8 +132,7 @@ class Execution:
         for epoch in range(start_epoch, cfg.MAX_EPOCH):
             self.logger.stamp()
             train_loader.sampler.set_epoch(epoch)
-            if epoch in tuple(cfg.NET_LR_DECAY_LIST):
-                opt_state = WarmupAdam.decay(opt_state, cfg.NET_LR_DECAY_R)
+            opt_state = optim.epoch_hook(opt_state, epoch)
 
             # losses stay on device until epoch end: converting per step
             # would host-sync every step and stall the dispatch pipeline

@@ -45,13 +45,21 @@ class WarmupAdam:
 
     def __init__(self, lr_base: float, betas=(0.9, 0.98), eps: float = 1e-9,
                  weight_decay: float = 0.0, epoch_steps: int = 1,
-                 warmup: bool = True):
+                 warmup: bool = True, decay_list=(), decay_r: float = 0.2):
         self.lr_base = lr_base
         self.b1, self.b2 = betas
         self.eps = eps
         self.weight_decay = weight_decay
         self.epoch_steps = max(int(epoch_steps), 1)
         self.warmup = warmup
+        self.decay_list = tuple(decay_list)
+        self.decay_r = decay_r
+
+    def epoch_hook(self, state, epoch: int):
+        """Milestone lr decay at epoch start (train_vqa.py:286-288)."""
+        if epoch in self.decay_list:
+            return WarmupAdam.decay(state, self.decay_r)
+        return state
 
     def init(self, params):
         return {
@@ -139,3 +147,80 @@ def plain_adam(lr: float, betas=(0.0, 0.999), eps: float = 1e-8,
     (search_vqa.py:195-196: lr=0.1, betas=(0,0.999), wd=0)."""
     return WarmupAdam(lr, betas=betas, eps=eps, weight_decay=weight_decay,
                       epoch_steps=1, warmup=False)
+
+
+class MomentumSGD:
+    """The reference's alternative NET_OPTIM='sgd' path: torch SGD with
+    momentum + CosineAnnealingLR over MAX_EPOCH with eta_min
+    (train_vqa.py:163-170, :265-267). Functional state like WarmupAdam;
+    the cosine lr is derived from the epoch counter in the state."""
+
+    def __init__(self, lr_base: float, momentum: float = 0.9,
+                 weight_decay: float = 0.0, max_epoch: int = 20,
+                 eta_min: float = 0.0):
+        self.lr_base = lr_base
+        self.momentum = momentum
+        self.weight_decay = weight_decay
+        self.max_epoch = max(int(max_epoch), 1)
+        self.eta_min = eta_min
+
+    def init(self, params):
+        return {
+            "v": _zeros_like_tree(params),
+            "epoch": jnp.zeros((), jnp.int32),
+            "lr_base": jnp.asarray(self.lr_base, jnp.float32),
+        }
+
+    def rate(self, state):
+        """CosineAnnealingLR: eta_min + (base-eta_min)*(1+cos(pi e/E))/2."""
+        e = state["epoch"].astype(jnp.float32)
+        return self.eta_min + (state["lr_base"] - self.eta_min) * (
+            1.0 + jnp.cos(jnp.pi * e / self.max_epoch)) / 2.0
+
+    def step(self, state, params, grads, mask=None):
+        lr = self.rate(state)
+        mu, wd = self.momentum, self.weight_decay
+        if mask is None:
+            mask = jax.tree_util.tree_map(lambda p: 1.0, params)
+
+        def upd(p, g, v, mk):
+            mk_f = jnp.asarray(mk, p.dtype)
+            if wd:
+                g = g + wd * p
+            v_new = jnp.where(mk_f > 0, mu * v + g, v)  # torch SGD momentum
+            p_new = jnp.where(mk_f > 0, p - lr * v_new, p)
+            return p_new, v_new
+
+        flat_p, treedef = jax.tree_util.tree_flatten(params)
+        flat = [upd(p, g, v, mk) for p, g, v, mk in zip(
+            flat_p, treedef.flatten_up_to(grads),
+            treedef.flatten_up_to(state["v"]), treedef.flatten_up_to(mask))]
+        new_p = treedef.unflatten([f[0] for f in flat])
+        new_state = {"v": treedef.unflatten([f[1] for f in flat]),
+                     "epoch": state["epoch"], "lr_base": state["lr_base"]}
+        return new_p, new_state, lr
+
+    @staticmethod
+    def next_epoch(state):
+        state = dict(state)
+        state["epoch"] = state["epoch"] + 1
+        return state
+
+    def epoch_hook(self, state, epoch: int):
+        """lr_scheduler.step() per epoch (train_vqa.py:283-284)."""
+        return MomentumSGD.next_epoch(state)
+
+
+def build_net_optimizer(cfg, epoch_steps: int):
+    """NET_OPTIM selection (train_vqa.py:205-221): 'wadam' (default) or the
+    SGD + cosine-annealing alternative."""
+    if cfg.NET_OPTIM == "sgd":
+        return MomentumSGD(cfg.NET_LR_BASE,
+                           getattr(cfg, "NET_MOMENTUM", 0.9),
+                           cfg.NET_WEIGHT_DECAY, cfg.MAX_EPOCH,
+                           getattr(cfg, "NET_LR_MIN", 0.0))
+    return WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
+                      cfg.NET_WEIGHT_DECAY, epoch_steps,
+                      warmup=cfg.NET_OPTIM_WARMUP,
+                      decay_list=tuple(cfg.NET_LR_DECAY_LIST),
+                      decay_r=cfg.NET_LR_DECAY_R)

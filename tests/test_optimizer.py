@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from mmnas_tpu.train.optimizer import (
-    WarmupAdam, clip_by_global_norm, global_norm, plain_adam,
+    MomentumSGD, WarmupAdam, clip_by_global_norm, global_norm, plain_adam,
 )
 
 
@@ -123,6 +123,41 @@ def test_alpha_adam_vs_torch():
         params, state, _ = opt.step(state, params, {"a": jnp.asarray(g)})
     np.testing.assert_allclose(np.asarray(params["a"]), ta.detach().numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_momentum_vs_torch():
+    """MomentumSGD parameter updates vs torch.optim.SGD at fixed lr."""
+    import torch
+    r = np.random.RandomState(4)
+    w0 = r.randn(5).astype(np.float32)
+    grads = [r.randn(5).astype(np.float32) for _ in range(5)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=0.01, momentum=0.9)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    opt = MomentumSGD(0.01, momentum=0.9, max_epoch=20)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    # epoch 0 state gives cos(0) -> lr_base exactly when eta_min=0
+    for g in grads:
+        params, state, lr = opt.step(state, params, {"w": jnp.asarray(g)})
+    assert abs(float(lr) - 0.01) < 1e-9
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_cosine_schedule():
+    import math
+    opt = MomentumSGD(0.01, max_epoch=20, eta_min=0.004)
+    state = opt.init({"w": jnp.zeros(2)})
+    for e in range(21):
+        want = 0.004 + (0.01 - 0.004) * (1 + math.cos(math.pi * e / 20)) / 2
+        assert abs(float(opt.rate(state)) - want) < 1e-8, e
+        state = MomentumSGD.next_epoch(state)
 
 
 def test_clip_by_global_norm_vs_torch():
