@@ -115,6 +115,9 @@ class Cfg:
     REMAT: bool = False               # jax.checkpoint candidate ops
                                       # (trades recompute for memory in
                                       # all-branch arch steps / big batches)
+    PROFILE: bool = False             # jax.profiler trace of epoch 0 to
+                                      # LOG_ROOT/profile_<VERSION>/
+    MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
     STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
 
@@ -180,6 +183,12 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    help="activation/compute dtype (master weights stay fp32)")
     p.add_argument("--REMAT", dest="REMAT", default=False, action="store_true",
                    help="rematerialize candidate ops (memory for recompute)")
+    p.add_argument("--PROFILE", dest="PROFILE", default=False,
+                   action="store_true",
+                   help="jax.profiler trace of the first epoch")
+    p.add_argument("--MULTIHOST", dest="MULTIHOST", default=False,
+                   action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)
@@ -214,5 +223,14 @@ def cfg_from_args(task: str, args, search: bool = False) -> Cfg:
     if getattr(args, "MAX_EPOCH", 0) in (0, None):
         overrides.pop("MAX_EPOCH", None)
     cfg = cfg.replace(**overrides)
+    # per-epoch eval is disabled when the val split is trained on or when
+    # not training (train_vqa.py:126-130)
+    if ("val" in cfg.TRAIN_SPLIT.split("+")) or cfg.RUN_MODE != "train":
+        cfg = cfg.replace(EVAL_EVERY_EPOCH=False)
+    if task == "itm" and not search:
+        cfg = cfg.replace(EVAL_BATCH_SIZE=cfg.BATCH_SIZE * 2)  # train_itm.py:133
+    if cfg.MULTIHOST:
+        import jax
+        jax.distributed.initialize()
     suffix = "-search" if search else "-full"
     return cfg.replace(VERSION=cfg.VERSION + suffix)

@@ -138,14 +138,17 @@ class Execution:
             # would host-sync every step and stall the dispatch pipeline
             losses, t0 = [], time.time()
             lr = 0.0
-            for step, batch in enumerate(
-                    pmesh.prefetch_to_device(train_loader, self.mesh)):
-                rng = jax.random.fold_in(step_key, global_step)
-                params, opt_state, loss, lr = train_step(params, opt_state, batch, rng)
-                global_step += 1
-                losses.append(loss)
-                if cfg.DEBUG and is_writer():
-                    print(step, float(loss) / self.global_batch())
+            from mmnas_tpu.utils.profiling import epoch_trace
+            with epoch_trace(cfg, epoch, start_epoch):
+                for step, batch in enumerate(
+                        pmesh.prefetch_to_device(train_loader, self.mesh)):
+                    rng = jax.random.fold_in(step_key, global_step)
+                    params, opt_state, loss, lr = train_step(
+                        params, opt_state, batch, rng)
+                    global_step += 1
+                    losses.append(loss)
+                    if cfg.DEBUG and is_writer():
+                        print(step, float(loss) / self.global_batch())
             loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
             epoch_finish = epoch + 1
