@@ -101,22 +101,50 @@ class Execution(VqaExecution):
 
     # --------------------------------------------------- device-side scoring
     def make_pair_scorer(self, net: NetFull):
-        """(params, corpus, img_idx [P], cap_idx [P]) -> scores [P];
-        gathers happen on device from the resident corpus."""
+        """(params, corpus, text_enc, img_idx [P], cap_idx [P]) -> scores [P].
 
-        def score(params, corpus, img_idx, cap_idx):
+        Split-trunk fast path: the text encoder runs ONCE per caption
+        (encode_corpus_text below); the per-pair cost is only the image
+        stem + decoder + heads. The reference recomputes the full trunk
+        for every (image, caption) pair (train_itm.py:489-498)."""
+
+        def score(params, corpus, text_enc, img_idx, cap_idx):
             batch = {
                 "frcn_feat": corpus["frcn_feat"][img_idx],
                 "bbox_feat": corpus["bbox_feat"][img_idx],
                 "rel_img": corpus["rel_img"][img_idx],
-                "ques_ix": corpus["caps"][cap_idx],
-                "rel_ques": jnp.zeros(
-                    (img_idx.shape[0], corpus["caps"].shape[1],
-                     corpus["caps"].shape[1], 3), jnp.float32),
             }
-            return net.apply(params, batch, train=False)
+            x_out = text_enc["x"][cap_idx]
+            x_mask = text_enc["mask"][cap_idx]
+            return net.apply_decoder(params, x_out, x_mask, batch, train=False)
 
         return jax.jit(score)
+
+    def encode_corpus_text(self, net: NetFull, params, corpus,
+                           chunk: int = 256):
+        """Jitted chunked text-encoder sweep over all captions ->
+        {'x': [n_caps, T, H], 'mask': [n_caps, 1, 1, T]} on device."""
+        caps = corpus["caps"]
+        n = caps.shape[0]
+        T = caps.shape[1]
+
+        @jax.jit
+        def enc(params, cap_chunk):
+            rel = jnp.zeros((cap_chunk.shape[0], T, T, 3), jnp.float32)
+            return net.encode_text(params, cap_chunk, rel, train=False)
+
+        xs, ms = [], []
+        for start in range(0, n, chunk):
+            part = caps[start:start + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = jnp.pad(part, ((0, pad), (0, 0)))
+            x, m = enc(params, part)
+            if pad:
+                x, m = x[:-pad], m[:-pad]
+            xs.append(x)
+            ms.append(m)
+        return {"x": jnp.concatenate(xs), "mask": jnp.concatenate(ms)}
 
     def device_corpus(self, dataset) -> Dict[str, jnp.ndarray]:
         caps, _ = dataset.get_all_caps()
@@ -140,6 +168,7 @@ class Execution(VqaExecution):
         R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)  # items per jitted scorer call
+        text_enc = self.encode_corpus_text(net, params, corpus)
 
         def topk_from_scores(scores_flat, cand):
             s = np.asarray(scores_flat).reshape(-1, R)
@@ -163,8 +192,8 @@ class Execution(VqaExecution):
             cap_pairs = cand.reshape(-1)
             if pad:
                 cap_pairs = np.pad(cap_pairs, (0, pad))
-            scores = scorer(params, corpus, jnp.asarray(img_pairs),
-                            jnp.asarray(cap_pairs))
+            scores = scorer(params, corpus, text_enc,
+                            jnp.asarray(img_pairs), jnp.asarray(cap_pairs))
             new_caps[idxs] = topk_from_scores(
                 np.asarray(scores)[:g * R], cand)
         dataset.neg_caps_idx_tensor = new_caps
@@ -185,8 +214,8 @@ class Execution(VqaExecution):
             if pad:
                 cap_pairs = np.pad(cap_pairs, (0, pad))
                 img_pairs = np.pad(img_pairs, (0, pad))
-            scores = scorer(params, corpus, jnp.asarray(img_pairs),
-                            jnp.asarray(cap_pairs))
+            scores = scorer(params, corpus, text_enc,
+                            jnp.asarray(img_pairs), jnp.asarray(cap_pairs))
             new_imgs[idxs] = topk_from_scores(np.asarray(scores)[:g * R], cand)
         dataset.neg_imgs_idx_tensor = new_imgs
 
@@ -272,6 +301,7 @@ class Execution(VqaExecution):
 
         scorer = self.make_pair_scorer(net)
         corpus = self.device_corpus(dataset)
+        text_enc = self.encode_corpus_text(net, params, corpus)
         n_caps = len(dataset)
         n_imgs = n_caps // dataset.CAPS_PER_IMG
 
@@ -288,7 +318,8 @@ class Execution(VqaExecution):
             if pad:
                 ii = np.pad(ii, (0, pad))
                 cc = np.pad(cc, (0, pad))
-            s = np.asarray(scorer(params, corpus, jnp.asarray(ii), jnp.asarray(cc)))
+            s = np.asarray(scorer(params, corpus, text_enc,
+                                  jnp.asarray(ii), jnp.asarray(cc)))
             if pad:
                 s = s[:-pad]
             score_mat.reshape(-1)[start:start + len(s)] = s

@@ -264,3 +264,57 @@ class NetFull:
         out = apply_heads(params, self.cfg, self.ocfg, self.task,
                           x_out, y_out, x_mask, y_mask, train, rngs)
         return cast_output(self.cfg, out)
+
+    # -- split application (pair-scoring fast path) -------------------------
+    #
+    # The encoder side (text LSTM + enc cells) never sees the image, so for
+    # cross-modal sweeps (ITM mining / R@K eval: n_imgs x n_caps pairs) the
+    # per-caption encoder output can be computed ONCE and reused for every
+    # image — the reference recomputes the full trunk per pair
+    # (train_itm.py:489-498). encode_text + apply_decoder reproduce
+    # apply() exactly (tested) at a fraction of the pair cost.
+
+    def encode_text(self, params, ques_ix, rel_ques, train: bool = False,
+                    rng=None):
+        """-> (x_out [B, T, H], x_mask [B,1,1,T]) after the enc cells."""
+        cfg = self.cfg
+        rngs = P.RngGen(rng)
+        params, batch = cast_for_compute(
+            self.cfg, params, {"ques_ix": ques_ix, "rel_ques": rel_ques})
+        ques_ix, rel_ques = batch["ques_ix"], batch["rel_ques"]
+        x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
+        x = P.lstm(params["lstm"], params["embedding"][ques_ix])
+        x_rel = rel_ques if "linear_x_rel" not in params else \
+            jax.nn.relu(P.linear(params["linear_x_rel"], rel_ques))
+        for cell, cp in zip(self.enc_cells, params["enc"]):
+            for node, node_params in zip(cell, cp):
+                x = sum(op.apply(op_p, x, None, x_mask, None, x_rel,
+                                 train, rngs)
+                        for op, op_p in zip(node, node_params))
+        return x, x_mask
+
+    def apply_decoder(self, params, x_out, x_mask, batch,
+                      train: bool = False, rng=None):
+        """Image stem + dec cells + heads against a precomputed text
+        encoding; output identical to apply()."""
+        cfg = self.cfg
+        rngs = P.RngGen(rng)
+        # burn the same number of rng draws the enc side consumed so the
+        # dropout streams of apply() and the split path line up is not
+        # required here: this path is eval-only (train=False).
+        params, batch = cast_for_compute(self.cfg, params, batch)
+        frcn_feat = batch["frcn_feat"]
+        y_mask = P.make_mask(frcn_feat)
+        if cfg.BBOX_FEATURE:
+            bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
+            frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
+        y = P.linear(params["imgfeat_linear"], frcn_feat)
+        y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
+        for cell, cp in zip(self.dec_cells, params["dec"]):
+            for node, node_params in zip(cell, cp):
+                y = sum(op.apply(op_p, y, x_out, y_mask, x_mask, y_rel,
+                                 train, rngs)
+                        for op, op_p in zip(node, node_params))
+        out = apply_heads(params, self.cfg, self.ocfg, self.task,
+                          x_out, y, x_mask, y_mask, train, rngs)
+        return cast_output(self.cfg, out)

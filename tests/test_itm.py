@@ -124,6 +124,19 @@ def test_triplet_train_step_decreases_loss(itm_setup):
     assert losses[-1] < losses[0]
 
 
+def test_split_trunk_equals_full_apply(itm_setup):
+    """encode_text + apply_decoder must reproduce apply() exactly (the
+    pair-scoring fast path reuses per-caption encoder outputs)."""
+    cfg, ex, ds, net, params = itm_setup
+    batch = {k: jnp.asarray(v) for k, v in _stack([ds[i] for i in range(4)]).items()}
+    full = net.apply(params, batch, train=False)
+    x_out, x_mask = net.encode_text(params, batch["ques_ix"],
+                                    batch["rel_ques"], train=False)
+    split = net.apply_decoder(params, x_out, x_mask, batch, train=False)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_mining_selects_top_scoring_negatives(itm_setup):
     """The mining sweep must (a) avoid each item's own pairs and (b) return
     candidates ranked by the scorer."""
@@ -144,12 +157,13 @@ def test_mining_selects_top_scoring_negatives(itm_setup):
     # ranking check: mined negs for image 0 must score >= the median of a
     # random candidate pool under the same scorer
     import jax.numpy as jnp2
+    text_enc = ex.encode_corpus_text(net, params, corpus)
     cand = np.arange(5, n_caps)
-    s_all = np.asarray(scorer(params, corpus,
+    s_all = np.asarray(scorer(params, corpus, text_enc,
                               jnp2.zeros(len(cand), jnp2.int32),
                               jnp2.asarray(cand)))
     mined = ds.neg_caps_idx_tensor[0]
-    mined_scores = np.asarray(scorer(params, corpus,
+    mined_scores = np.asarray(scorer(params, corpus, text_enc,
                                      jnp2.zeros(len(mined), jnp2.int32),
                                      jnp2.asarray(mined)))
     assert mined_scores.min() >= np.median(s_all) - 1e-6
