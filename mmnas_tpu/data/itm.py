@@ -50,11 +50,21 @@ class ItmDataset:
         self.caps_list, self.feat_ids_list = [], []
         for split in split_map[run_mode].split("+"):
             with open(cap_paths[f"{split}-caps"]) as f:
-                self.caps_list += [ln.strip() for ln in f]
+                split_caps = [ln.strip() for ln in f]
             with open(cap_paths[f"{split}-ids"]) as f:
-                for i, ln in enumerate(f):
-                    if split == "train" or i % self.CAPS_PER_IMG == 0:
-                        self.feat_ids_list.append(ln.strip())
+                ids = [ln.strip() for ln in f]
+            # SCAN precomp ids come one-per-caption (each image id repeated
+            # 5x); normalize to one-per-IMAGE so caption c pairs with image
+            # c // 5. (The reference keeps the raw per-caption list for the
+            # train split, load_data_itm.py:64-71, which only lines up
+            # because of the repetition; this normalization handles both
+            # per-caption and per-image id files.)
+            if len(ids) == len(split_caps):
+                ids = ids[::self.CAPS_PER_IMG]
+            assert len(ids) * self.CAPS_PER_IMG == len(split_caps), (
+                f"{split}: {len(split_caps)} captions vs {len(ids)} image ids")
+            self.caps_list += split_caps
+            self.feat_ids_list += ids
         self.data_size = len(self.caps_list)
 
         id_map = None
