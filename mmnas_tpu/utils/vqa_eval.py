@@ -13,7 +13,7 @@ perAnswerType rounded to n=2 decimals.
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional  # noqa: F401
 
 from mmnas_tpu.utils.answer_norm import (
     process_digit_article, process_punctuation,
@@ -89,6 +89,48 @@ def evaluate(annotations: VqaAnnotations,
             for t, v in acc_ans_type.items()},
         "perQuestion": per_question,
     }
+
+
+# ---------------------------------------------------------------------------
+# class-style facade matching the official VQA API surface
+# (mmnas/utils/vqa.py VQA + vqaEval.py VQAEval), for drop-in use by code
+# written against the reference
+# ---------------------------------------------------------------------------
+
+class VQA(VqaAnnotations):
+    """API-compatible alias: VQA(annotation_file, question_file) with
+    getQuesIds() and loadRes(result_file)."""
+
+    def getQuesIds(self) -> List[int]:
+        return self.question_ids()
+
+    def loadRes(self, res_file: str):
+        """Returns the parsed result list; completeness-checked against the
+        annotations (vqa.py:163-166)."""
+        with open(res_file) as f:
+            results = json.load(f)
+        for r in results:
+            if r["question_id"] not in self.qa:
+                raise ValueError(
+                    f"result question_id {r['question_id']} not in annotations")
+        return results
+
+
+class VQAEval:
+    """vqaEval.py-shaped wrapper over `evaluate`: construct with the VQA
+    annotations and the loaded results, call .evaluate(), read .accuracy."""
+
+    def __init__(self, vqa: VqaAnnotations, results, n: int = 2):
+        self.vqa = vqa
+        self.results = results
+        self.n = n
+        self.accuracy: Dict = {}
+        self.evalQA: Dict[int, float] = {}
+
+    def evaluate(self, quesIds: Optional[List[int]] = None) -> None:
+        stats = globals()["evaluate"](self.vqa, self.results, quesIds, self.n)
+        self.evalQA = stats.pop("perQuestion")
+        self.accuracy = stats
 
 
 def evaluate_result_file(dataset, preds) -> Optional[Dict]:

@@ -79,6 +79,28 @@ def test_evaluate_normalizes_prediction(tmp_path):
     assert stats["overall"] == 100.0
 
 
+def test_class_api_facade(tmp_path):
+    """Reference-shaped flow: VQA(anno,ques).loadRes(file) -> VQAEval(n=2)
+    .evaluate() -> .accuracy['overall'] (train_vqa.py:459-483)."""
+    from mmnas_tpu.utils.vqa_eval import VQA, VQAEval
+    ap, qp = _write_anno(tmp_path, {"what": ["cat"] * 10})
+    res_file = tmp_path / "res.json"
+    res_file.write_text(json.dumps([{"question_id": 0, "answer": "cat"}]))
+    vqa = VQA(ap, qp)
+    results = vqa.loadRes(str(res_file))
+    ev = VQAEval(vqa, results, n=2)
+    ev.evaluate()
+    assert ev.accuracy["overall"] == 100.0
+    assert ev.evalQA[0] == 100.0
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([{"question_id": 99, "answer": "x"}]))
+    try:
+        vqa.loadRes(str(bad))
+        assert False, "expected completeness error"
+    except ValueError:
+        pass
+
+
 def test_evaluate_wrong_answer(tmp_path):
     ap, qp = _write_anno(tmp_path, {"what": ["cat"] * 10})
     annotations = VqaAnnotations(ap, qp)
