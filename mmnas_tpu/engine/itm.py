@@ -21,7 +21,6 @@ Three TPU-native re-designs over the reference:
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Dict, Optional
 
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.data.loader import Loader
-from mmnas_tpu.data.sampler import SubsetShardSampler
 from mmnas_tpu.engine.vqa import Execution as VqaExecution
 from mmnas_tpu.genotype import load_genotype
 from mmnas_tpu.models.net import NetFull

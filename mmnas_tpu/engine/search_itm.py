@@ -20,12 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmnas_tpu.data.loader import Loader
-from mmnas_tpu.data.sampler import SubsetShardSampler
 from mmnas_tpu.engine.itm import recall_metrics
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
 from mmnas_tpu.models.supernet import NetSearch
-from mmnas_tpu.parallel import mesh as pmesh
 from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
 from mmnas_tpu.utils.logger import is_writer
 

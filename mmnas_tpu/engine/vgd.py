@@ -17,7 +17,6 @@ numpy+Cython on the host; on TPU it is a batched tensor program.
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax
@@ -25,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.data.loader import Loader
-from mmnas_tpu.data.sampler import SubsetShardSampler
 from mmnas_tpu.engine.vqa import Execution as VqaExecution, bce_with_logits_sum
 from mmnas_tpu.genotype import load_genotype
 from mmnas_tpu.models.net import NetFull

@@ -12,10 +12,9 @@ BATCH_SIZE * n_data_shards, gradients divided by n_data_shards.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Residual + LayerNorm placement matches the reference exactly:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, NamedTuple
 

@@ -21,8 +21,6 @@ mesh then spans all processes and the same program runs SPMD across hosts
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,9 +17,6 @@ Everything is jit-friendly: state is a pytree, the schedule is branch-free.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

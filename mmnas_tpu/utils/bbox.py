@@ -16,7 +16,6 @@ All use the Fast R-CNN +1 pixel-area convention (bbox.pyx:33-55).
 from __future__ import annotations
 
 import ctypes
-import os
 import warnings
 
 import numpy as np
