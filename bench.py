@@ -24,7 +24,9 @@ ESTIMATED_BASELINE_PER_GPU = 250.0  # examples/s/GPU (see docstring)
 WARMUP_STEPS = 3
 BENCH_STEPS = 30
 ALPHA_EVERY = 5
-BATCH = 64
+BATCH = int(__import__("os").environ.get("BENCH_BS", 64))
+BENCH_DTYPE = __import__("os").environ.get("BENCH_DTYPE", "float32")
+BENCH_PALLAS = __import__("os").environ.get("BENCH_PALLAS", "0") == "1"
 
 
 def main():
@@ -37,7 +39,7 @@ def main():
     from mmnas_tpu.engine.search import SearchExecution
 
     cfg = SearchCfg(TASK="vqa", SYNTH=True, BATCH_SIZE=BATCH, N_DEVICES=1,
-                    NUM_WORKERS=2)
+                    NUM_WORKERS=2, DTYPE=BENCH_DTYPE, USE_PALLAS=BENCH_PALLAS)
     ex = SearchExecution(cfg)
     ds = SynthVqaDataset(cfg, size=BATCH * 2, seed=0)
 
