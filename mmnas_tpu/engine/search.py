@@ -131,7 +131,7 @@ class SearchExecution:
             pred = net.apply(params, alpha, batch, idx, mode="sampled",
                              train=False)
             return jnp.argmax(pred, axis=-1)
-        return jax.jit(step)
+        return jax.jit(step, out_shardings=pmesh.replicated_sharding(self.mesh))
 
     # ---- main loop ---------------------------------------------------------
     def search(self, train_loader: Loader, eval_loader: Loader):
@@ -266,20 +266,24 @@ class SearchExecution:
         return acc
 
     # ---- run ---------------------------------------------------------------
+    def make_loader(self, dataset, shuffle: bool, subset_indices=None) -> Loader:
+        pc, pi = jax.process_count(), jax.process_index()
+        per_proc = max(1, self.global_batch() // pc)
+        return Loader(
+            dataset, per_proc,
+            sampler=SubsetShardSampler(len(dataset), num_replicas=pc, rank=pi,
+                                       shuffle=shuffle,
+                                       subset_indices=subset_indices),
+            num_workers=self.cfg.NUM_WORKERS)
+
     def run(self):
         cfg = self.cfg
         dataset = self.build_dataset()
         n = len(dataset)
         split = int(n * cfg.SPLIT_PORTION)
         # ONE dataset, 80/20 bilevel split (search_vqa.py:560-583)
-        train_loader = Loader(
-            dataset, self.global_batch(),
-            sampler=SubsetShardSampler(n, shuffle=True,
-                                       subset_indices=list(range(split))),
-            num_workers=cfg.NUM_WORKERS)
-        eval_loader = Loader(
-            dataset, self.global_batch(),
-            sampler=SubsetShardSampler(n, shuffle=True,
-                                       subset_indices=list(range(split, n))),
-            num_workers=cfg.NUM_WORKERS)
+        train_loader = self.make_loader(dataset, shuffle=True,
+                                        subset_indices=list(range(split)))
+        eval_loader = self.make_loader(dataset, shuffle=True,
+                                       subset_indices=list(range(split, n)))
         return self.search(train_loader, eval_loader)

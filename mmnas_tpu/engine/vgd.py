@@ -141,7 +141,7 @@ class Execution(VqaExecution):
             iou = bbox_overlaps_jnp(picked[:, None, :], batch["gt_bbox"])[:, 0, 0]
             return (iou >= cfg.OVERLAP_THRESHOLD).astype(jnp.int32)
 
-        return jax.jit(step)
+        return jax.jit(step, out_shardings=pmesh.replicated_sharding(self.mesh))
 
     def eval(self, eval_loader: Loader, net: Optional[NetFull] = None,
              params=None, valid: bool = False):

@@ -62,6 +62,19 @@ class Execution:
     def global_batch(self) -> int:
         return self.cfg.BATCH_SIZE * self.n_shards
 
+    def make_loader(self, dataset, shuffle: bool, subset_indices=None) -> Loader:
+        """Per-process loader: rank-strided over processes, with the
+        per-process slice of the global batch (multi-host follows the
+        reference's per-rank DataLoader layout, SURVEY.md §2.5)."""
+        pc, pi = jax.process_count(), jax.process_index()
+        per_proc = max(1, self.global_batch() // pc)
+        return Loader(
+            dataset, per_proc,
+            sampler=SubsetShardSampler(len(dataset), num_replicas=pc, rank=pi,
+                                       shuffle=shuffle,
+                                       subset_indices=subset_indices),
+            num_workers=self.cfg.NUM_WORKERS)
+
     # ----------------------------------------------------------------- model
     def build_net(self, dataset) -> NetFull:
         cfg = self.cfg
@@ -96,7 +109,10 @@ class Execution:
         def step(params, batch):
             logits = net.apply(params, batch, train=False)
             return jnp.argmax(logits, axis=-1)
-        return jax.jit(step)
+        # replicated output: every process can read the full predictions
+        # (multi-host eval assembly; replaces the reference's rank
+        # all_gather, train_vqa.py:382-384)
+        return jax.jit(step, out_shardings=pmesh.replicated_sharding(self.mesh))
 
     # ----------------------------------------------------------------- train
     def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):
@@ -238,22 +254,13 @@ class Execution:
         cfg = self.cfg
         if cfg.RUN_MODE == "train":
             train_set = self.build_dataset("train")
-            train_loader = Loader(
-                train_set, self.global_batch(),
-                sampler=SubsetShardSampler(len(train_set), shuffle=True),
-                num_workers=cfg.NUM_WORKERS)
+            train_loader = self.make_loader(train_set, shuffle=True)
             eval_loader = None
             if cfg.EVAL_EVERY_EPOCH:
                 eval_set = self.build_dataset("val")
-                eval_loader = Loader(
-                    eval_set, self.global_batch(),
-                    sampler=SubsetShardSampler(len(eval_set), shuffle=False),
-                    num_workers=cfg.NUM_WORKERS)
+                eval_loader = self.make_loader(eval_set, shuffle=False)
             return self.train(train_loader, eval_loader)
         else:
             eval_set = self.build_dataset(cfg.RUN_MODE)
-            eval_loader = Loader(
-                eval_set, self.global_batch(),
-                sampler=SubsetShardSampler(len(eval_set), shuffle=False),
-                num_workers=cfg.NUM_WORKERS)
+            eval_loader = self.make_loader(eval_set, shuffle=False)
             return self.eval(eval_loader, valid=(cfg.RUN_MODE == "val"))

@@ -47,9 +47,19 @@ def data_axis_size(mesh: Mesh) -> int:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch on the mesh, leading axis split over 'data'."""
+    """Place a host batch on the mesh, leading axis split over 'data'.
+
+    Single-process: plain device_put with the sharding. Multi-host: each
+    process holds 1/process_count of the global batch (the loaders are
+    rank-strided, engine.make_loader) and the global array is assembled
+    with make_array_from_process_local_data — the TPU-native replacement
+    for the reference's per-rank DataLoader + DDP input split."""
     sh = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2):
