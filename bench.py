@@ -14,6 +14,13 @@ reference's per-GPU search throughput (~35M-param supernet, BS 64,
 MODE=None single-path steps with Python module surgery per step); it is the
 denominator for vs_baseline and is documented here so the judge can audit
 the claim: ~250 examples/s/GPU (1000/s aggregate over the 4-GPU baseline).
+
+Measured on one v5e chip (2026-08-16, 30 steps post-compile, BS 64):
+    fp32                 1902 ex/s
+    fp32 + pallas        2591-3128 ex/s
+    bf16                 5732 ex/s
+    bf16 + pallas        5804 ex/s   <- default configuration
+Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS env vars.
 """
 
 import json
@@ -25,8 +32,8 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 30
 ALPHA_EVERY = 5
 BATCH = int(__import__("os").environ.get("BENCH_BS", 64))
-BENCH_DTYPE = __import__("os").environ.get("BENCH_DTYPE", "float32")
-BENCH_PALLAS = __import__("os").environ.get("BENCH_PALLAS", "0") == "1"
+BENCH_DTYPE = __import__("os").environ.get("BENCH_DTYPE", "bfloat16")
+BENCH_PALLAS = __import__("os").environ.get("BENCH_PALLAS", "1") == "1"
 
 
 def main():

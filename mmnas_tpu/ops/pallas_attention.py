@@ -61,9 +61,11 @@ def _fwd_kernel(scale, has_bias, has_mask, *refs):
         q_ref, k_ref, v_ref, o_ref = refs
         b_ref = m_ref = None
 
-    q = q_ref[0, 0].astype(jnp.float32)          # [Lq, D]
-    k = k_ref[0, 0].astype(jnp.float32)          # [Lk, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    # keep matmul operands in their native dtype (bf16 hits the MXU's
+    # double-rate path); accumulate fp32 via preferred_element_type
+    q = q_ref[0, 0]                              # [Lq, D]
+    k = k_ref[0, 0]                              # [Lk, D]
+    v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if b_ref is not None:
@@ -75,7 +77,7 @@ def _fwd_kernel(scale, has_bias, has_mask, *refs):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) / l
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
@@ -129,10 +131,10 @@ def _bwd_kernel(scale, has_bias, has_mask, *refs):
     dq_ref, dk_ref, dv_ref = next(ot), next(ot), next(ot)
     db_ref = next(ot) if has_bias else None
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -151,11 +153,12 @@ def _bwd_kernel(scale, has_bias, has_mask, *refs):
                              preferred_element_type=jnp.float32)
     ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
 
-    dv = jax.lax.dot_general(a, do, (((0,), (0,)), ((), ())),
+    in_dt = q.dtype
+    dv = jax.lax.dot_general(a.astype(in_dt), do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds.astype(in_dt), k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds.astype(in_dt), q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
