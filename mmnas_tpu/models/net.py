@@ -118,9 +118,14 @@ def apply_stem(params, cfg, batch, train, rngs):
         frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
     y = P.linear(params["imgfeat_linear"], frcn_feat)
 
-    y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
+    # relation projections are rematerialized: the [B, L, L, REL_SIZE]
+    # activation is the single largest tensor in the program (312MB at
+    # B=256, L=100) and recomputing the 4->64 matmul in the backward is
+    # far cheaper than keeping three copies of it alive in HBM
+    _rel_proj = jax.checkpoint(lambda p, r: jax.nn.relu(P.linear(p, r)))
+    y_rel = _rel_proj(params["linear_y_rel"], batch["rel_img"])
     if "linear_x_rel" in params:
-        x_rel = jax.nn.relu(P.linear(params["linear_x_rel"], batch["rel_ques"]))
+        x_rel = _rel_proj(params["linear_x_rel"], batch["rel_ques"])
     else:  # fixed-arch nets pass the raw text relation (full_vqa.py:104)
         x_rel = batch.get("rel_ques", None)
     return x, y, x_mask, y_mask, x_rel, y_rel
