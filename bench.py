@@ -20,11 +20,11 @@ Measured on one v5e chip (2026-08-16, 30 steps post-compile):
     BS  64  fp32 + pallas        2591-3128 ex/s
     BS  64  bf16                 5732 ex/s
     BS  64  bf16 + pallas        5804 ex/s
-    BS 128  bf16 + pallas       11154-12980 ex/s   <- default configuration
-    BS 256  OOM: 16.3G/15.75G with 91% HBM fragmentation around the
-            pallas custom-calls (actual working set 1.5G); lifting it
-            needs the rel projection fused into the attention kernel
-            and/or better scheduling — BS 128 is the operating point
+    BS 128  bf16 + pallas       11154-12980 ex/s
+    BS 256  bf16 + pallas       21808 ex/s   <- default configuration
+            (fits after rematerializing the relation-projection and RSA
+            bias activations; was OOM before)
+    BS 512  OOM (29.2G needed / 15.75G HBM)
 Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS env vars.
 """
 
@@ -36,7 +36,7 @@ ESTIMATED_BASELINE_PER_GPU = 250.0  # examples/s/GPU (see docstring)
 WARMUP_STEPS = 3
 BENCH_STEPS = 30
 ALPHA_EVERY = 5
-BATCH = int(__import__("os").environ.get("BENCH_BS", 128))
+BATCH = int(__import__("os").environ.get("BENCH_BS", 256))
 BENCH_DTYPE = __import__("os").environ.get("BENCH_DTYPE", "bfloat16")
 BENCH_PALLAS = __import__("os").environ.get("BENCH_PALLAS", "1") == "1"
 

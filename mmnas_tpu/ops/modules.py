@@ -119,13 +119,20 @@ def _rel_mhatt_init(key, cfg: OpCfg, base: int, hsize_k):
     return p
 
 
+def _rsa_bias(p_wr, rel):
+    """log(clamp(relu(W_r rel), 1e-6)) -> [B, H, L, L] (modules.py:231-235).
+    Rematerialized: the bias is one of the largest activations in the
+    program; recomputing the tiny REL_SIZE->heads matmul in the backward
+    beats keeping it resident."""
+    r = jax.nn.relu(P.linear(p_wr, rel))             # [B, L, L, H]
+    r = jnp.transpose(r, (0, 3, 1, 2))               # [B, H, L, L]
+    return jnp.log(jnp.clip(r, min=1e-6))
+
+
 def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                      train, rngs):
-    """RSA score bias: log(clamp(relu(W_r rel), 1e-6)) (modules.py:231-235)."""
     assert rel is not None
-    r = jax.nn.relu(P.linear(p["wr"], rel))          # [B, L, L, H]
-    r = jnp.transpose(r, (0, 3, 1, 2))               # [B, H, L, L]
-    log_bias = jnp.log(jnp.clip(r, min=1e-6))
+    log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
     return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train, rngs,
                         log_bias=log_bias)
 
