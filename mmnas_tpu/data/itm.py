@@ -85,6 +85,8 @@ class ItmDataset:
                     continue
                 iid = id_map[iid]
             self.iid_to_path[iid] = p
+        from mmnas_tpu.data.packed import FeatureSource
+        self.features = FeatureSource(self.iid_to_path, paths.imgfeat_dirs())
 
         self.token_to_ix, self.pretrained_emb = build_vocab_from_questions(
             stat_caps, cfg, cache_name="itm")
@@ -115,11 +117,10 @@ class ItmDataset:
     @lru_cache(maxsize=4096)
     def _img(self, img_idx: int):
         cfg = self.cfg
-        feat = np.load(self.iid_to_path[self.feat_ids_list[img_idx]])
-        fx = feat["x"].transpose((1, 0)).astype(np.float32)
-        frcn = pad_feat(fx, cfg.FRCNFEAT_LEN)
-        img_h, img_w = float(feat["image_h"]), float(feat["image_w"])
-        bbox = feat["bbox"].astype(np.float32)
+        feat = self.features.get(self.feat_ids_list[img_idx])
+        frcn = pad_feat(feat["x"], cfg.FRCNFEAT_LEN)
+        img_h, img_w = feat["image_h"], feat["image_w"]
+        bbox = feat["bbox"]
         bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
         rel = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
         k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)

@@ -116,6 +116,10 @@ class VgdDataset:
         for d in paths.imgfeat_dirs():
             frcn_paths += glob.glob(os.path.join(d, "*.npz"))
         self.iid_to_path = paths.iid_map(frcn_paths)
+        self.features = None
+        if cfg.FEAT != "coco_mrcn":  # packed store covers the 'x' layout
+            from mmnas_tpu.data.packed import FeatureSource
+            self.features = FeatureSource(self.iid_to_path, paths.imgfeat_dirs())
 
         stat_refs = []
         for p in paths.ref_jsons().values():
@@ -155,14 +159,16 @@ class VgdDataset:
         rel_ques = semantic_embedding(len(refs["tokens"]), ques_ix,
                                       self.pretrained_emb, 14)
 
-        feat = np.load(self.iid_to_path[str(refs["image_id"])])
-        if cfg.FEAT == "coco_mrcn":
+        if self.features is not None:
+            feat = self.features.get(str(refs["image_id"]))
+            fx, bbox = feat["x"], feat["bbox"]
+            img_h, img_w = feat["image_h"], feat["image_w"]
+        else:  # coco_mrcn: concat fc7+pool5 (load_data_vgd.py:143-147)
+            feat = np.load(self.iid_to_path[str(refs["image_id"])])
             fx = np.concatenate((feat["fc7"], feat["pool5"]), axis=-1)
-        else:
-            fx = feat["x"].transpose((1, 0))
+            img_h, img_w = float(feat["image_h"]), float(feat["image_w"])
+            bbox = feat["bbox"].astype(np.float32)
         frcn = pad_feat(fx.astype(np.float32), cfg.FRCNFEAT_LEN)
-        img_h, img_w = float(feat["image_h"]), float(feat["image_w"])
-        bbox = feat["bbox"].astype(np.float32)
         bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
         bbox_pad = pad_feat(bbox, cfg.FRCNFEAT_LEN)
 

@@ -48,6 +48,9 @@ class VqaDataset:
         self.iid_to_path = {
             str(int(os.path.basename(p).split("_")[-1].split(".")[0])): p
             for p in frcn_paths}
+        from mmnas_tpu.data.packed import FeatureSource
+        self.features = FeatureSource(self.iid_to_path,
+                                      list(paths.imgfeat_dirs().values()))
 
         def load_questions(key):
             with open(qp[key]) as f:
@@ -135,11 +138,10 @@ class VqaDataset:
         rel_ques = semantic_embedding(n_words, ques_ix, self.pretrained_emb,
                                       cfg.MAX_TOKEN)
 
-        feat = np.load(self.iid_to_path[iid])
-        fx = feat["x"].transpose((1, 0)).astype(np.float32)
-        frcn = pad_feat(fx, cfg.FRCNFEAT_LEN)
-        img_h, img_w = float(feat["image_h"]), float(feat["image_w"])
-        bbox = feat["bbox"].astype(np.float32)
+        feat = self.features.get(iid)
+        frcn = pad_feat(feat["x"], cfg.FRCNFEAT_LEN)
+        img_h, img_w = feat["image_h"], feat["image_w"]
+        bbox = feat["bbox"]
         bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
         rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
         k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)

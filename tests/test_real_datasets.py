@@ -102,6 +102,22 @@ def vgd_root(tmp_path):
     return str(root)
 
 
+def test_vqa_dataset_with_packed_features(vqa_root):
+    """pack_features + FeatureSource: packed items identical to npz items."""
+    from mmnas_tpu.data.vqa import VqaDataset
+    from tools.pack_features import pack
+    cfg = Cfg(TASK="vqa", DATA_ROOT=vqa_root, FRCNFEAT_LEN=10,
+              FRCNFEAT_SIZE=64, GLOVE_FEATURE=False, WORD_EMBED_SIZE=16)
+    before = VqaDataset(cfg, "train")[0]
+    src = os.path.join(vqa_root, "vqa", "bua-r101-max100", "train2014")
+    pack(src, max_len=10, dtype="float32")
+    ds = VqaDataset(cfg, "train")
+    assert ds.features.packed is not None
+    after = ds[0]
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=1e-6, atol=1e-6)
+
+
 def test_vgd_dataset_loads(vgd_root):
     from mmnas_tpu.data.vgd import VgdDataset
     cfg = Cfg(TASK="vgd", DATA_ROOT=vgd_root, DATASET="refcoco",
