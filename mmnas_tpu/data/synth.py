@@ -47,7 +47,7 @@ class SynthVgdDataset:
         rel_ques = semantic_embedding(n_words, ques_ix, self.pretrained_emb, T)
 
         img_h, img_w = 480.0, 640.0
-        n_obj = int(r.randint(10, K + 1))
+        n_obj = int(r.randint(min(10, K), K + 1))
         frcn = np.zeros((K, F), np.float32)
         frcn[:n_obj] = r.randn(n_obj, F).astype(np.float32) * 0.5 + 1e-3
         x1 = r.uniform(0, img_w * 0.7, n_obj)
@@ -229,7 +229,7 @@ class SynthVqaDataset:
         ques_ix = np.zeros((T,), np.int64)
         ques_ix[:n_words] = r.randint(3, self.token_size, size=n_words)
 
-        n_obj = int(r.randint(10, K + 1))
+        n_obj = int(r.randint(min(10, K), K + 1))
         frcn = np.zeros((K, F), np.float32)
         frcn[:n_obj] = r.randn(n_obj, F).astype(np.float32) * 0.5 + 1e-3
 

@@ -231,8 +231,11 @@ class SearchExecution:
                 for name in weights:
                     self.logger.write(f"{name}: {weights[name]}")
                 # per-epoch genotype archive, reset on first epoch
-                # (search_vqa.py:379-386)
-                if epoch_finish == 1 + start_epoch and os.path.exists(arch_json):
+                # (search_vqa.py:379-386). Divergence: the reference also
+                # wipes it on --RESUME (losing the pre-resume genotypes);
+                # we keep the history across resumes.
+                if (epoch_finish == 1 + start_epoch and not cfg.RESUME
+                        and os.path.exists(arch_json)):
                     os.remove(arch_json)
                 append_genotype(arch_json, epoch_finish, genotype)
 
