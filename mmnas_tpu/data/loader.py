@@ -59,10 +59,13 @@ class Loader:
         bs = self.batch_size
         self.last_batch_pad = 0
         n_batches = (len(indices) + bs - 1) // bs
-        if self.pad_to_full and len(indices) % bs != 0:
+        if self.pad_to_full and indices and len(indices) % bs != 0:
             pad = bs - len(indices) % bs
             self.last_batch_pad = pad
-            indices = indices + indices[:pad]
+            # cycle the epoch's indices: pad can exceed len(indices) when
+            # the (subset) dataset is smaller than one global batch
+            reps = pad // len(indices) + 1
+            indices = indices + (indices * reps)[:pad]
 
         stop = object()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

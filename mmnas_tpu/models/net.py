@@ -74,6 +74,7 @@ def op_cfg_from(cfg) -> OpCfg:
         attflat_glimpses=cfg.ATTFLAT_GLIMPSES,
         attflat_out_size=cfg.ATTFLAT_OUT_SIZE,
         attflat_mlp_size=cfg.ATTFLAT_MLP_SIZE,
+        remat=getattr(cfg, "REMAT", False),
     )
 
 
@@ -118,11 +119,13 @@ def apply_stem(params, cfg, batch, train, rngs):
         frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
     y = P.linear(params["imgfeat_linear"], frcn_feat)
 
-    # relation projections are rematerialized: the [B, L, L, REL_SIZE]
-    # activation is the single largest tensor in the program (312MB at
-    # B=256, L=100) and recomputing the 4->64 matmul in the backward is
-    # far cheaper than keeping three copies of it alive in HBM
-    _rel_proj = jax.checkpoint(lambda p, r: jax.nn.relu(P.linear(p, r)))
+    # under cfg.REMAT the relation projections are rematerialized: the
+    # [B, L, L, REL_SIZE] activation is the single largest tensor in the
+    # program (312MB at B=256, L=100); recomputing the 4->64 matmul in the
+    # backward costs ~5% step time and lifts the large-batch OOM
+    _rel_proj = (jax.checkpoint(lambda p, r: jax.nn.relu(P.linear(p, r)))
+                 if getattr(cfg, "REMAT", False)
+                 else (lambda p, r: jax.nn.relu(P.linear(p, r))))
     y_rel = _rel_proj(params["linear_y_rel"], batch["rel_img"])
     if "linear_x_rel" in params:
         x_rel = _rel_proj(params["linear_x_rel"], batch["rel_ques"])

@@ -35,6 +35,7 @@ class OpCfg:
     attflat_glimpses: int = 1
     attflat_out_size: int = 1024
     attflat_mlp_size: int = 512
+    remat: bool = False  # jax.checkpoint the RSA bias chain (memory-bound runs)
 
 
 class Op(NamedTuple):
@@ -102,9 +103,22 @@ def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
                  log_bias=None):
     inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
     n_heads = inside // base
-    vh = _split_heads(P.linear(p["wv"], v), n_heads, base)
-    kh = _split_heads(P.linear(p["wk"], k), n_heads, base)
-    qh = _split_heads(P.linear(p["wq"], q), n_heads, base)
+    # fuse projections sharing an input into ONE matmul (the models are
+    # kernel-count bound at these tiny sequence lengths, not FLOP bound):
+    # self-attention v=k=q -> one [H, 3*inside] matmul; guided attention
+    # v=k -> one [H, 2*inside] + the q projection
+    if v is k and k is q:
+        w = jnp.concatenate((p["wv"]["w"], p["wk"]["w"], p["wq"]["w"]), axis=1)
+        vv, kk, qq = jnp.split(v @ w, 3, axis=-1)
+    elif v is k:
+        w = jnp.concatenate((p["wv"]["w"], p["wk"]["w"]), axis=1)
+        vv, kk = jnp.split(v @ w, 2, axis=-1)
+        qq = P.linear(p["wq"], q)
+    else:
+        vv, kk, qq = P.linear(p["wv"], v), P.linear(p["wk"], k), P.linear(p["wq"], q)
+    vh = _split_heads(vv, n_heads, base)
+    kh = _split_heads(kk, n_heads, base)
+    qh = _split_heads(qq, n_heads, base)
     atted = scaled_dot_attention(qh, kh, vh, mask, log_bias,
                                  dropout_r=cfg.dropout_r, train=train, rng=rngs())
     return P.linear(p["wm"], _merge_heads(atted))
@@ -121,9 +135,10 @@ def _rel_mhatt_init(key, cfg: OpCfg, base: int, hsize_k):
 
 def _rsa_bias(p_wr, rel):
     """log(clamp(relu(W_r rel), 1e-6)) -> [B, H, L, L] (modules.py:231-235).
-    Rematerialized: the bias is one of the largest activations in the
-    program; recomputing the tiny REL_SIZE->heads matmul in the backward
-    beats keeping it resident."""
+    Under OpCfg.remat this chain is rematerialized: the bias is one of the
+    largest activations in the program, and recomputing the tiny
+    REL_SIZE->heads matmul in the backward beats keeping it resident
+    (lifts the BS-256 search OOM at ~5% step-time cost)."""
     r = jax.nn.relu(P.linear(p_wr, rel))             # [B, L, L, H]
     r = jnp.transpose(r, (0, 3, 1, 2))               # [B, H, L, L]
     return jnp.log(jnp.clip(r, min=1e-6))
@@ -132,7 +147,10 @@ def _rsa_bias(p_wr, rel):
 def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                      train, rngs):
     assert rel is not None
-    log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
+    if cfg.remat:
+        log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
+    else:
+        log_bias = _rsa_bias(p["wr"], rel)
     return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train, rngs,
                         log_bias=log_bias)
 

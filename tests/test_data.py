@@ -76,6 +76,17 @@ def test_loader_batches_and_tail_padding():
     assert list(ids) == list(range(10)) + [0, 1]
 
 
+def test_loader_pads_dataset_smaller_than_batch():
+    """pad can exceed the dataset size (tiny bilevel eval splits)."""
+    ld = Loader(_ToyDataset(5), batch_size=16, num_workers=1)
+    batches = list(ld)
+    assert len(batches) == 1
+    assert batches[0]["x"].shape == (16, 3)
+    assert ld.last_batch_pad == 11
+    ids = list(batches[0]["i"])
+    assert ids == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0]
+
+
 def test_loader_propagates_worker_errors():
     class Bad(_ToyDataset):
         def __getitem__(self, i):

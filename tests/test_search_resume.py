@@ -12,10 +12,10 @@ from mmnas_tpu.train.checkpoint import ckpt_path, load_checkpoint
 
 def make_cfg(tmp_path, **kw):
     base = dict(
-        TASK="vqa", SYNTH=True, SYNTH_SIZE=40, BATCH_SIZE=2,
+        TASK="vqa", SYNTH=True, SYNTH_SIZE=24, BATCH_SIZE=2,
         HSIZE=64, ATTFLAT_OUT_SIZE=128, ATTFLAT_MLP_SIZE=16, REL_SIZE=8,
         FRCNFEAT_LEN=8, FRCNFEAT_SIZE=16, WORD_EMBED_SIZE=10, MAX_TOKEN=6,
-        NODES=(("enc", 2), ("dec", 3)), MAX_EPOCH=1, ALPHA_START=0,
+        NODES=(("enc", 1), ("dec", 2)), MAX_EPOCH=1, ALPHA_START=0,
         ALPHA_EVERY=2, SEED=13, EVAL_EVERY_EPOCH=False, NUM_WORKERS=1,
         VERSION="resume_search-search",
         CKPT_ROOT=str(tmp_path / "ckpts"), LOG_ROOT=str(tmp_path / "logs"),
@@ -36,8 +36,8 @@ def test_search_checkpoint_and_resume(tmp_path):
     # (search_vqa.py:351-356)
     for key in ("state_dict", "net_optim", "alpha", "alpha_optim", "epoch"):
         assert key in state, key
-    assert state["alpha"]["enc"].shape == (2, 2)
-    assert state["alpha"]["dec"].shape == (3, 4)
+    assert state["alpha"]["enc"].shape == (1, 2)
+    assert state["alpha"]["dec"].shape == (2, 4)
 
     arch_json = os.path.join(cfg.ARCH_ROOT, cfg.VERSION + ".json")
     archive = json.load(open(arch_json))
