@@ -117,6 +117,9 @@ class Cfg:
                                       # all-branch arch steps / big batches)
     PROFILE: bool = False             # jax.profiler trace of epoch 0 to
                                       # LOG_ROOT/profile_<VERSION>/
+    DEVICE_REL: bool = False          # compute geometry relation tensors on
+                                      # device from raw boxes (loaders ship
+                                      # [K,4] instead of [K,K,4])
     MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
     STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
@@ -183,6 +186,9 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    help="activation/compute dtype (master weights stay fp32)")
     p.add_argument("--REMAT", dest="REMAT", default=False, action="store_true",
                    help="rematerialize candidate ops (memory for recompute)")
+    p.add_argument("--DEVICE_REL", dest="DEVICE_REL", default=False,
+                   action="store_true",
+                   help="compute box relation tensors on device")
     p.add_argument("--PROFILE", dest="PROFILE", default=False,
                    action="store_true",
                    help="jax.profiler trace of the first epoch")

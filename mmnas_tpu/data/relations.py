@@ -33,6 +33,32 @@ def relation_embedding(bbox: np.ndarray) -> np.ndarray:
     return np.stack((delta_x, delta_y, delta_w, delta_h), axis=-1).astype(np.float32)
 
 
+def relation_embedding_jnp(bbox, valid_mask=None):
+    """Device-side batched twin of relation_embedding: [B, K, 4] boxes ->
+    [B, K, K, 4]. With cfg.DEVICE_REL the loaders ship the raw 4-float
+    boxes and this runs inside the jitted step instead of per item in the
+    host workers (the loader's hottest compute + a 100x smaller H2D
+    transfer). Entries touching padded boxes are zeroed to match the
+    host's zero-padded tensor (load_data_vqa.py:241-244)."""
+    import jax.numpy as jnp
+    x_min, y_min, x_max, y_max = [bbox[..., i] for i in range(4)]
+    cx = (x_min + x_max) * 0.5
+    cy = (y_min + y_max) * 0.5
+    w = (x_max - x_min) + 1.0
+    h = (y_max - y_min) + 1.0
+    dx = jnp.log(jnp.maximum(
+        jnp.abs((cx[..., :, None] - cx[..., None, :]) / w[..., :, None]), 1e-3))
+    dy = jnp.log(jnp.maximum(
+        jnp.abs((cy[..., :, None] - cy[..., None, :]) / h[..., :, None]), 1e-3))
+    dw = jnp.log(w[..., :, None] / w[..., None, :])
+    dh = jnp.log(h[..., :, None] / h[..., None, :])
+    rel = jnp.stack((dx, dy, dw, dh), axis=-1)
+    if valid_mask is not None:  # [B, K] bool, True = real box
+        pair = (valid_mask[..., :, None] & valid_mask[..., None, :])
+        rel = jnp.where(pair[..., None], rel, 0.0)
+    return rel
+
+
 def semantic_embedding(n_words: int, ques_ix: np.ndarray,
                        pretrained_emb: np.ndarray, max_token: int = 14) -> np.ndarray:
     """Question semantic relation tensor, zero-padded to [max_token]^2.

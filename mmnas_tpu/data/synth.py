@@ -248,8 +248,11 @@ class SynthVqaDataset:
         bbox_feat[:n_obj, 4] = ((bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1])
                                 / (img_h * img_w))
 
-        rel_img = np.zeros((K, K, 4), np.float32)
-        rel_img[:n_obj, :n_obj] = relation_embedding(bbox)
+        bbox_pad = np.zeros((K, 4), np.float32)
+        bbox_pad[:n_obj] = bbox
+        if not getattr(self.cfg, "DEVICE_REL", False):
+            rel_img = np.zeros((K, K, 4), np.float32)
+            rel_img[:n_obj, :n_obj] = relation_embedding(bbox)
 
         rel_ques = semantic_embedding(n_words, ques_ix, self.pretrained_emb, T)
 
@@ -258,11 +261,15 @@ class SynthVqaDataset:
         if r.rand() < 0.3:
             ans[r.randint(0, self.ans_size)] = 0.3
 
-        return {
+        item = {
             "frcn_feat": frcn,
             "bbox_feat": bbox_feat,
-            "rel_img": rel_img,
             "ques_ix": ques_ix,
             "ans": ans,
             "rel_ques": rel_ques.astype(np.float32),
         }
+        if getattr(self.cfg, "DEVICE_REL", False):
+            item["bbox_raw"] = bbox_pad
+        else:
+            item["rel_img"] = rel_img
+        return item

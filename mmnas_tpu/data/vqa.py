@@ -143,15 +143,18 @@ class VqaDataset:
         img_h, img_w = feat["image_h"], feat["image_w"]
         bbox = feat["bbox"]
         bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
-        rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
-        k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
-        rel_img[:k, :k] = relation_embedding(bbox[:k])
-
-        return {
+        item = {
             "frcn_feat": frcn,
             "bbox_feat": bbox_feat,
-            "rel_img": rel_img,
             "ques_ix": ques_ix,
             "ans": ans_iter,
             "rel_ques": rel_ques,
         }
+        k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
+        if getattr(cfg, "DEVICE_REL", False):
+            item["bbox_raw"] = pad_feat(bbox, cfg.FRCNFEAT_LEN)
+        else:
+            rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
+            rel_img[:k, :k] = relation_embedding(bbox[:k])
+            item["rel_img"] = rel_img
+        return item

@@ -111,6 +111,16 @@ def apply_stem(params, cfg, batch, train, rngs):
     x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
     y_mask = P.make_mask(frcn_feat)
 
+    if "rel_img" not in batch and "bbox_raw" in batch:
+        # DEVICE_REL path: geometry relation tensor computed on device from
+        # the raw boxes (data/relations.relation_embedding_jnp); logs in
+        # fp32, then down to the compute dtype
+        from mmnas_tpu.data.relations import relation_embedding_jnp
+        valid = ~y_mask[:, 0, 0, :]
+        rel = relation_embedding_jnp(batch["bbox_raw"].astype(jnp.float32),
+                                     valid)
+        batch = dict(batch, rel_img=rel.astype(frcn_feat.dtype))
+
     lang_feat = params["embedding"][ques_ix]
     x = P.lstm(params["lstm"], lang_feat)
 

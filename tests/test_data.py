@@ -152,6 +152,46 @@ def test_semantic_embedding_truncates_to_max_token():
     assert np.isfinite(out).all()
 
 
+def test_device_rel_matches_host_rel():
+    """DEVICE_REL: on-device relation tensor equals the host-computed one,
+    including zeroed padded entries, through the full model forward."""
+    import jax
+    import jax.numpy as jnp
+    from mmnas_tpu.data.loader import _stack
+    from mmnas_tpu.data.relations import relation_embedding_jnp
+    from mmnas_tpu.genotype import load_genotype
+    from mmnas_tpu.models.net import NetFull
+
+    base = dict(TASK="vqa", SYNTH=True, HSIZE=64, ATTFLAT_OUT_SIZE=128,
+                ATTFLAT_MLP_SIZE=16, REL_SIZE=8, FRCNFEAT_LEN=12,
+                FRCNFEAT_SIZE=16, WORD_EMBED_SIZE=10, MAX_TOKEN=6,
+                DROPOUT_R=0.0)
+    cfg_h = Cfg(**base)
+    cfg_d = Cfg(DEVICE_REL=True, **base)
+    ds_h = SynthVqaDataset(cfg_h, size=4, token_size=20, ans_size=4, seed=5)
+    ds_d = SynthVqaDataset(cfg_d, size=4, token_size=20, ans_size=4, seed=5)
+    bh = _stack([ds_h[i] for i in range(4)])
+    bd = _stack([ds_d[i] for i in range(4)])
+    assert "rel_img" not in bd and "bbox_raw" in bd
+
+    # raw tensor equality
+    valid = jnp.asarray((np.abs(bh["frcn_feat"]).sum(-1) > 0))
+    rel_dev = np.asarray(relation_embedding_jnp(
+        jnp.asarray(bd["bbox_raw"]), valid))
+    np.testing.assert_allclose(rel_dev, bh["rel_img"], rtol=1e-5, atol=1e-5)
+
+    # full forward equality through a genotype with RSA (uses rel)
+    gene = {"enc": [["self_att_64"]], "dec": [["rel_self_att_64"], ["feed_forward"]]}
+    idict = {"token_size": 20, "ans_size": 4, "pretrained_emb": ds_h.pretrained_emb}
+    net_h = NetFull(cfg_h, gene, idict, "vqa")
+    params = net_h.init(jax.random.PRNGKey(0))
+    net_d = NetFull(cfg_d, gene, idict, "vqa")
+    out_h = net_h.apply(params, {k: jnp.asarray(v) for k, v in bh.items()})
+    out_d = net_d.apply(params, {k: jnp.asarray(v) for k, v in bd.items()})
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_h),
+                               rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # synthetic dataset contracts (reference shapes, SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
