@@ -68,13 +68,17 @@ class SynthVgdDataset:
         bbox_feat[:n_obj] = norm_bbox_feat(bbox, img_h, img_w)
         bbox_pad = np.zeros((K, 4), np.float32)
         bbox_pad[:n_obj] = bbox
-        rel_img = np.zeros((K, K, 4), np.float32)
-        rel_img[:n_obj, :n_obj] = relation_embedding(bbox)
+        if getattr(cfg, "DEVICE_REL", False):
+            rel_item = {"bbox_raw": bbox_pad}
+        else:
+            rel_img = np.zeros((K, K, 4), np.float32)
+            rel_img[:n_obj, :n_obj] = relation_embedding(bbox)
+            rel_item = {"rel_img": rel_img}
 
         return {
             "frcn_feat": frcn,
             "bbox_feat": bbox_feat,
-            "rel_img": rel_img,
+            **rel_item,
             "ques_ix": ques_ix,
             "rel_ques": rel_ques.astype(np.float32),
             "scores": scores,

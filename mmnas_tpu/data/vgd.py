@@ -172,23 +172,25 @@ class VgdDataset:
         bbox_feat = pad_feat(norm_bbox_feat(bbox, img_h, img_w), cfg.FRCNFEAT_LEN)
         bbox_pad = pad_feat(bbox, cfg.FRCNFEAT_LEN)
 
-        rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
-        k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
-        rel_img[:k, :k] = relation_embedding(bbox[:k])
-
         gt = np.array(refs["bbox"], np.float32)  # xywh -> xyxy
         gt_xyxy = np.array([gt[0], gt[1], gt[0] + gt[2], gt[1] + gt[3]], np.float32)
 
         item = {
             "frcn_feat": frcn,
             "bbox_feat": bbox_feat,
-            "rel_img": rel_img,
             "ques_ix": ques_ix,
             "rel_ques": rel_ques,
             "gt_bbox": gt_xyxy.reshape(1, 4),
             "bbox": bbox_pad,
             "img_shape": np.array([img_h, img_w], np.float32),
         }
+        if getattr(cfg, "DEVICE_REL", False):
+            item["bbox_raw"] = bbox_pad
+        else:
+            rel_img = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
+            k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
+            rel_img[:k, :k] = relation_embedding(bbox[:k])
+            item["rel_img"] = rel_img
         if self.run_mode == "train":
             s, sm, tb, bm = proc_bbox_label(cfg, gt_xyxy, bbox, cfg.FRCNFEAT_LEN)
         else:
