@@ -34,9 +34,11 @@ def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *,
                          dropout_r: float = 0.0, train: bool = False, rng=None):
     """q,k,v: [B, H, Lq|Lk, D]; mask: [B, 1, 1, Lk] bool (True = pad);
     log_bias: [B, H, Lq, Lk] additive pre-softmax bias (already logged)."""
-    if _USE_PALLAS and not (train and dropout_r > 0.0):
+    if _USE_PALLAS:
         from mmnas_tpu.ops import pallas_attention
-        out = pallas_attention.try_fused_attention(q, k, v, mask, log_bias)
+        eff_drop = dropout_r if (train and dropout_r > 0.0) else 0.0
+        out = pallas_attention.try_fused_attention(
+            q, k, v, mask, log_bias, dropout_r=eff_drop, rng=rng)
         if out is not None:
             return out
 

@@ -7,20 +7,34 @@ softmax pays overhead for nothing at L<=128) but a single-block fused
 kernel: one grid program per (batch*head) computes
 
     s = q @ k^T / sqrt(d)  (+ rel log-bias)  (+ additive pad mask)
-    o = softmax(s) @ v
+    o = dropout(softmax(s)) @ v
 
 entirely in VMEM/registers — the [Lq, Lk] scores, the softmax stats, and
 the probability matrix never touch HBM. A custom VJP runs the standard
-attention backward (recompute s, p; dv, dp, ds, dq, dk, dbias) as a second
-single-block Pallas kernel, so training steps can use it too (dropout on
-attention weights falls back to the jnp path — see ops/attention.py).
+attention backward (recompute s, a; then dv, da, ds, dq, dk, dbias) as a
+second single-block kernel, so training with attention dropout
+(DROPOUT_R=0.1, the reference default) uses the fused path too.
+
+Dropout: the forward kernel draws the mask with the TPU PRNG
+(pltpu.prng_seed with seed + b*H + h, threshold on uint32 bits) and EMITS
+it as a bfloat16 0/1 residual for the backward — regenerating inside the
+backward kernel is not bit-stable because Mosaic's bit->element mapping is
+layout-dependent across compiled programs (verified empirically: ~0.3% of
+mask bits differed). With the residual, the backward is EXACT for the mask
+the forward applied (verified on TPU: kernel grads == jnp autodiff with
+the saved mask, diff 0.0). Caveat: the mask realization for a given seed
+can still differ BETWEEN separately compiled programs, so primal and grad
+evaluations from different jits see different draws — within one jitted
+train step (the real usage) loss and gradients are self-consistent. The
+kernel's dropout stream also differs from the jnp path's jax.random (same
+distribution, different bits); numerical parity tests disable dropout.
 
 The pad mask enters as an additive [B, Lk] row vector (broadcast over Lq
 and heads inside the kernel) instead of the [B, H, Lq, Lk] tensor the
-reference materializes (modules.py:195) — a bandwidth win on its own.
+reference materializes (modules.py:195).
 
-Grid: (B, H); blocks are the full per-head arrays. `dimension_semantics`
-marks both grid axes parallel (independent programs -> megacore).
+Grid: (B, H); blocks are the full per-head arrays; matmul operands stay in
+their input dtype (bf16 double-rate MXU path) with fp32 accumulation.
 """
 
 from __future__ import annotations
@@ -30,11 +44,13 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MASK_FILL = -1e9
 
 # interpret mode makes the kernels runnable (slowly) on CPU — used by the
 # test suite on the virtual mesh; real TPU runs compile via Mosaic.
+# (The dropout variant is TPU-only: pltpu.prng_* has no CPU lowering.)
 INTERPRET = False
 
 
@@ -44,117 +60,154 @@ def _get_pl():
     return pl, pltpu
 
 
-# ---------------------------------------------------------------------------
-# forward kernel
-# ---------------------------------------------------------------------------
+def _unpack(has_bias, has_mask, has_seed, it):
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    m_ref = next(it) if has_mask else None
+    seed_ref = next(it) if has_seed else None
+    return q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref
 
-def _fwd_kernel(scale, has_bias, has_mask, *refs):
-    if has_bias and has_mask:
-        q_ref, k_ref, v_ref, b_ref, m_ref, o_ref = refs
-    elif has_bias:
-        q_ref, k_ref, v_ref, b_ref, o_ref = refs
-        m_ref = None
-    elif has_mask:
-        q_ref, k_ref, v_ref, m_ref, o_ref = refs
-        b_ref = None
-    else:
-        q_ref, k_ref, v_ref, o_ref = refs
-        b_ref = m_ref = None
 
-    # keep matmul operands in their native dtype (bf16 hits the MXU's
-    # double-rate path); accumulate fp32 via preferred_element_type
-    q = q_ref[0, 0]                              # [Lq, D]
-    k = k_ref[0, 0]                              # [Lk, D]
-    v = v_ref[0, 0]
+def _scores(q, k, b_ref, m_ref, scale, pl):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if b_ref is not None:
         s = s + b_ref[0, 0].astype(jnp.float32)
     if m_ref is not None:
-        pl, _ = _get_pl()
-        row = m_ref[pl.program_id(0)].astype(jnp.float32)
-        s = s + row[None, :]                            # [1, Lk] broadcast
+        s = s + m_ref[pl.program_id(0)].astype(jnp.float32)[None, :]
+    return s
+
+
+def _softmax(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) / l
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
+    pl, pltpu = _get_pl()
+    has_drop = dropout_r > 0.0
+    it = iter(refs)
+    q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref = _unpack(
+        has_bias, has_mask, has_drop, it)
+    o_ref = next(it)
+    dm_ref = next(it) if has_drop else None
+
+    q = q_ref[0, 0]                              # [Lq, D]
+    k = k_ref[0, 0]                              # [Lk, D]
+    v = v_ref[0, 0]
+    a = _softmax(_scores(q, k, b_ref, m_ref, scale, pl))
+    if has_drop:
+        pltpu.prng_seed(seed_ref[0, 0]
+                        + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(a.shape), jnp.uint32)
+        keep_p = 1.0 - dropout_r
+        keep = bits < jnp.uint32(int(keep_p * 4294967296.0))
+        dm_ref[0, 0] = keep.astype(jnp.bfloat16)  # 0/1 exact; uint8
+                                                  # lacks a Mosaic cast
+        a = a * keep.astype(jnp.float32) / keep_p
+    o = jax.lax.dot_general(a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _fwd_call(q, k, v, bias, mask_add, scale):
-    pl, pltpu = _get_pl()
+def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    has_bias = bias is not None
-    has_mask = mask_add is not None
-
     in_specs = [
         pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0)),
     ]
     args = [q, k, v]
-    if has_bias:
+    if bias is not None:
         in_specs.append(pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0)))
         args.append(bias)
-    if has_mask:
+    if mask_add is not None:
         in_specs.append(pl.BlockSpec((B, Lk), lambda b, h: (0, 0)))
         args.append(mask_add)
+    if seed is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, h: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(seed)
+    return in_specs, args
 
-    kernel = functools.partial(_fwd_kernel, scale, has_bias, has_mask)
-    return pl.pallas_call(
+
+def _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r):
+    pl, pltpu = _get_pl()
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    has_drop = dropout_r > 0.0
+    in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add,
+                                    seed if has_drop else None)
+    ospec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0))
+    sspec = pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0))
+    out_specs = [ospec]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype)]
+    if has_drop:
+        out_specs.append(sspec)
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lq, Lk), jnp.bfloat16))
+
+    kernel = functools.partial(_fwd_kernel, scale, dropout_r,
+                               bias is not None, mask_add is not None)
+    out = pl.pallas_call(
         kernel,
         grid=(B, H),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=INTERPRET,
     )(*args)
+    if has_drop:
+        return out[0], out[1]
+    return out[0], None
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (standard attention backward, single block)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scale, has_bias, has_mask, *refs):
-    n_in = 4 + int(has_bias) + int(has_mask)
-    in_refs, out_refs = refs[:n_in], refs[n_in:]
-    it = iter(in_refs)
-    q_ref, k_ref, v_ref = next(it), next(it), next(it)
-    b_ref = next(it) if has_bias else None
-    m_ref = next(it) if has_mask else None
+def _bwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
+    pl, pltpu = _get_pl()
+    has_drop = dropout_r > 0.0
+    it = iter(refs)
+    q_ref, k_ref, v_ref, b_ref, m_ref, _ = _unpack(
+        has_bias, has_mask, False, it)
+    dm_ref = next(it) if has_drop else None
     do_ref = next(it)
-    ot = iter(out_refs)
-    dq_ref, dk_ref, dv_ref = next(ot), next(ot), next(ot)
-    db_ref = next(ot) if has_bias else None
+    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    db_ref = next(it) if has_bias else None
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    if b_ref is not None:
-        s = s + b_ref[0, 0].astype(jnp.float32)
-    if m_ref is not None:
-        pl, _ = _get_pl()
-        s = s + m_ref[pl.program_id(0)].astype(jnp.float32)[None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    a = p / l                                              # softmax probs
+    a = _softmax(_scores(q, k, b_ref, m_ref, scale, pl))  # pre-dropout probs
+    if has_drop:
+        dmask = dm_ref[0, 0].astype(jnp.float32) / (1.0 - dropout_r)
+        ad = a * dmask                                     # applied probs
+    else:
+        dmask = None
+        ad = a
 
-    # o = a @ v ; da = do @ v^T ; ds = a * (da - rowsum(da * a))
+    # o = ad @ v ; dv = ad^T do ; da = (do v^T) * dmask ;
+    # ds = a * (da - rowsum(da * a))   [softmax vjp at pre-dropout a]
     da = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if dmask is not None:
+        da = da * dmask
     ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
 
     in_dt = q.dtype
-    dv = jax.lax.dot_general(a.astype(in_dt), do, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(ad.astype(in_dt), do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dq = jax.lax.dot_general(ds.astype(in_dt), k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
@@ -168,25 +221,20 @@ def _bwd_kernel(scale, has_bias, has_mask, *refs):
         db_ref[0, 0] = ds.astype(db_ref.dtype)
 
 
-def _bwd_call(q, k, v, bias, mask_add, scale, do):
+def _bwd_call(q, k, v, bias, mask_add, dmask, scale, dropout_r, do):
     pl, pltpu = _get_pl()
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     has_bias = bias is not None
-    has_mask = mask_add is not None
+    has_drop = dropout_r > 0.0
 
+    in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, None)
     qspec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0))
     kspec = pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0))
     sspec = pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0))
-
-    in_specs = [qspec, kspec, kspec]
-    args = [q, k, v]
-    if has_bias:
+    if has_drop:
         in_specs.append(sspec)
-        args.append(bias)
-    if has_mask:
-        in_specs.append(pl.BlockSpec((B, Lk), lambda b, h: (0, 0)))
-        args.append(mask_add)
+        args.append(dmask)
     in_specs.append(qspec)
     args.append(do)
 
@@ -198,7 +246,8 @@ def _bwd_call(q, k, v, bias, mask_add, scale, do):
         out_specs.append(sspec)
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Lq, Lk), bias.dtype))
 
-    kernel = functools.partial(_bwd_kernel, scale, has_bias, has_mask)
+    kernel = functools.partial(_bwd_kernel, scale, dropout_r,
+                               has_bias, mask_add is not None)
     out = pl.pallas_call(
         kernel,
         grid=(B, H),
@@ -216,20 +265,24 @@ def _bwd_call(q, k, v, bias, mask_add, scale, do):
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused(q, k, v, bias, mask_add, scale):
-    return _fwd_call(q, k, v, bias, mask_add, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused(q, k, v, bias, mask_add, seed, scale, dropout_r):
+    out, _ = _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r)
+    return out
 
 
-def _fused_fwd(q, k, v, bias, mask_add, scale):
-    return _fwd_call(q, k, v, bias, mask_add, scale), (q, k, v, bias, mask_add)
+def _fused_fwd(q, k, v, bias, mask_add, seed, scale, dropout_r):
+    out, dmask = _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r)
+    return out, (q, k, v, bias, mask_add, seed, dmask)
 
 
-def _fused_bwd(scale, res, do):
-    q, k, v, bias, mask_add = res
-    dq, dk, dv, dbias = _bwd_call(q, k, v, bias, mask_add, scale, do)
-    dmask = None if mask_add is None else jnp.zeros_like(mask_add)
-    return dq, dk, dv, dbias, dmask
+def _fused_bwd(scale, dropout_r, res, do):
+    q, k, v, bias, mask_add, seed, dmask = res
+    dq, dk, dv, dbias = _bwd_call(q, k, v, bias, mask_add, dmask, scale,
+                                  dropout_r, do)
+    dmask_add = None if mask_add is None else jnp.zeros_like(mask_add)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)  # int input
+    return dq, dk, dv, dbias, dmask_add, dseed
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -239,24 +292,36 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # public entry (hooked by ops/attention.py)
 # ---------------------------------------------------------------------------
 
-def fused_attention(q, k, v, mask=None, log_bias=None):
+def fused_attention(q, k, v, mask=None, log_bias=None, *,
+                    dropout_r: float = 0.0, rng=None):
     """q,k,v: [B, H, L, D]; mask: [B, 1, 1, Lk] bool (True = pad);
-    log_bias: [B, H, Lq, Lk] additive pre-softmax bias."""
+    log_bias: [B, H, Lq, Lk] additive pre-softmax bias; dropout_r > 0
+    requires an rng key (attention-weight dropout, modules.py:197)."""
     scale = 1.0 / math.sqrt(q.shape[-1])
     mask_add = None
     if mask is not None:
         mask_add = jnp.where(mask[:, 0, 0, :], MASK_FILL, 0.0).astype(jnp.float32)
-    return _fused(q, k, v, log_bias, mask_add, scale)
+    if dropout_r > 0.0:
+        assert rng is not None, "attention dropout needs an rng key"
+        seed = jax.random.randint(rng, (1, 1), 0, 2**31 - 1, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    return _fused(q, k, v, log_bias, mask_add, seed, scale, float(dropout_r))
 
 
-def try_fused_attention(q, k, v, mask=None, log_bias=None):
+def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
+                        dropout_r: float = 0.0, rng=None):
     """Dispatch hook: returns None when the kernel should not be used
-    (non-TPU backend without interpret mode, or unsupported shapes)."""
+    (non-TPU backend without interpret mode; dropout needs the TPU PRNG)."""
     if q.ndim != 4:
         return None
-    if jax.default_backend() not in ("tpu",) and not INTERPRET:
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not INTERPRET:
         return None
-    return fused_attention(q, k, v, mask, log_bias)
+    if dropout_r > 0.0 and not on_tpu:
+        return None  # pltpu.prng_* has no CPU interpret lowering
+    return fused_attention(q, k, v, mask, log_bias,
+                           dropout_r=dropout_r, rng=rng)
 
 
 def enable(flag: bool = True):

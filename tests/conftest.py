@@ -8,10 +8,14 @@ update jax.config after import, before any backend is initialized.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+if os.environ.get("MMNAS_TEST_TPU", "0") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+# MMNAS_TEST_TPU=1 leaves the real TPU backend active (for the TPU-only
+# test modules, e.g. tests/test_pallas_dropout_tpu.py).
