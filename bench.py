@@ -26,10 +26,12 @@ examples/s/GPU (1000/s aggregate over the 4-GPU baseline) — documented so
 the judge can audit the vs_baseline claim.
 
 Measured on one v5e chip (2026-08-16, scan-timed, host-fetch barrier):
-    BS  64 fp32              ~1462 ex/s
-    BS  64 bf16+pallas       ~1656 ex/s
-    BS 128 bf16+pallas       ~1930 ex/s   <- default configuration
-    BS 256 bf16+pallas       ~1803 ex/s (needs REMAT=1; no gain over 128)
+    BS  64 fp32                 ~1462 ex/s
+    BS 128 bf16                 ~1927 ex/s   <- default configuration
+    BS 128 bf16 + fused kernel  ~1729 ex/s (kernel is opt-in: at mmnas's
+           L<=100 XLA's own fusion beats the hand kernel for training;
+           the dropout-mask residual write costs more than fusion saves)
+    BS 256 bf16                 ~1803 ex/s (needs REMAT=1; no gain)
 Throughput is batch-flat: the workload is bound by the long sequential
 op chain (30-node DAG + LSTM scan), not FLOPs — see CLAUDE.md roadmap.
 Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS / BENCH_REMAT env vars.
@@ -45,7 +47,7 @@ BENCH_STEPS = 50
 ALPHA_EVERY = 5
 BATCH = int(os.environ.get("BENCH_BS", 128))
 BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
-BENCH_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+BENCH_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 BENCH_REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 
 
