@@ -119,7 +119,9 @@ class Cfg:
                                       # LOG_ROOT/profile_<VERSION>/
     DEVICE_REL: bool = False          # compute geometry relation tensors on
                                       # device from raw boxes (loaders ship
-                                      # [K,4] instead of [K,K,4])
+                                      # [K,4] instead of [K,K,4]); VQA/VGD
+                                      # paths (K=100); ITM keeps host rel
+                                      # (K=36, triplet batch plumbing)
     MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
     STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
