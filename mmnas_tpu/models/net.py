@@ -33,7 +33,7 @@ import numpy as np
 from mmnas_tpu.genotype import Genotype
 from mmnas_tpu.ops import primitives as P
 from mmnas_tpu.ops.modules import OpCfg, attflat, attflat_init
-from mmnas_tpu.ops.registry import OPS_ADAPTER, make_op
+from mmnas_tpu.ops.registry import make_op
 
 
 _INPUT_KEYS = ("frcn_feat", "bbox_feat", "rel_img", "rel_ques",
