@@ -143,12 +143,16 @@ class SearchCfg(Cfg):
     MAX_EPOCH: int = 100
     ALPHA_START: int = 20             # first epoch with arch steps
     ALPHA_EVERY: int = 5              # arch step every N weight steps
-    ALPHA_BINARY_MODE: str = "full"
+    ALPHA_BINARY_MODE: str = "full"   # 'full' (all branches) or 'two'
+                                      # (two-path sampling + pair rescale,
+                                      # mixed.py:136-148,200-208)
     ALPHA_LR_BASE: float = 0.1
     ALPHA_WEIGHT_DECAY: float = 0.0
-    ALPHA_INIT_TYPE: str = "normal"
     ALPHA_OPT_BETAS: Tuple[float, float] = (0.0, 0.999)
-    GENOTYPES_K: int = 1
+    # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
+    # is unconditionally overwritten by the biased MCAN init in the
+    # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
+    # search_vqa.py:164 but read by nothing).
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +201,10 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--MULTIHOST", dest="MULTIHOST", default=False,
                    action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
+    if search:
+        p.add_argument("--ALPHA_MODE", dest="ALPHA_BINARY_MODE", default=None,
+                       choices=["full", "two"],
+                       help="arch-step gate mode (reference ALPHA_BINARY_MODE)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

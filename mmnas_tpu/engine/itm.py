@@ -41,6 +41,21 @@ from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
 from mmnas_tpu.utils.logger import is_writer
 
 
+def sharded_pair_call(mesh, n_shards, fn, img_idx, cap_idx):
+    """Run a jitted pair scorer with the index arrays sharded over the
+    mesh's 'data' axis (pads to a multiple of n_shards). fn(ii, cc) must
+    be jitted with data-sharded index inputs; returns host scores [len]."""
+    n = len(img_idx)
+    pad = (-n) % max(1, n_shards)
+    if pad:
+        img_idx = np.pad(np.asarray(img_idx), (0, pad))
+        cap_idx = np.pad(np.asarray(cap_idx), (0, pad))
+    sh = pmesh.batch_sharding(mesh)
+    ii = jax.device_put(jnp.asarray(img_idx), sh)
+    cc = jax.device_put(jnp.asarray(cap_idx), sh)
+    return np.asarray(fn(ii, cc))[:n]
+
+
 class Execution(VqaExecution):
 
     # ------------------------------------------------------------------ data
@@ -104,7 +119,15 @@ class Execution(VqaExecution):
         Split-trunk fast path: the text encoder runs ONCE per caption
         (encode_corpus_text below); the per-pair cost is only the image
         stem + decoder + heads. The reference recomputes the full trunk
-        for every (image, caption) pair (train_itm.py:489-498)."""
+        for every (image, caption) pair (train_itm.py:489-498).
+
+        Sharding: the pair-index arrays are split over the mesh's 'data'
+        axis with the corpus/params replicated — the TPU analog of the
+        reference's rank-row-sharded score matrix + all_reduce
+        (train_itm.py:470-500); XLA partitions the gathers and decoder
+        forward across all mesh devices."""
+        repl = pmesh.replicated_sharding(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
 
         def score(params, corpus, text_enc, img_idx, cap_idx):
             batch = {
@@ -116,7 +139,8 @@ class Execution(VqaExecution):
             x_mask = text_enc["mask"][cap_idx]
             return net.apply_decoder(params, x_out, x_mask, batch, train=False)
 
-        return jax.jit(score)
+        return jax.jit(score, in_shardings=(repl, repl, repl, data, data),
+                       out_shardings=repl)
 
     def encode_corpus_text(self, net: NetFull, params, corpus,
                            chunk: int = 256):
@@ -126,10 +150,15 @@ class Execution(VqaExecution):
         n = caps.shape[0]
         T = caps.shape[1]
 
-        @jax.jit
-        def enc(params, cap_chunk):
-            rel = jnp.zeros((cap_chunk.shape[0], T, T, 3), jnp.float32)
-            return net.encode_text(params, cap_chunk, rel, train=False)
+        repl = pmesh.replicated_sharding(self.mesh)
+
+        def build(net):
+            def enc(params, cap_chunk):
+                rel = jnp.zeros((cap_chunk.shape[0], T, T, 3), jnp.float32)
+                return net.encode_text(params, cap_chunk, rel, train=False)
+            return jax.jit(enc, out_shardings=repl)
+
+        enc = self.cached_step("text_enc", net, build)
 
         xs, ms = [], []
         for start in range(0, n, chunk):
@@ -147,12 +176,12 @@ class Execution(VqaExecution):
     def device_corpus(self, dataset) -> Dict[str, jnp.ndarray]:
         caps, _ = dataset.get_all_caps()
         frcn, bbox_feat, rel = dataset.get_all_imgs()
-        return {
+        return pmesh.replicate(self.mesh, {
             "caps": jnp.asarray(caps),
             "frcn_feat": jnp.asarray(frcn),
             "bbox_feat": jnp.asarray(bbox_feat),
             "rel_img": jnp.asarray(rel),
-        }
+        })
 
     # ---------------------------------------------------------------- mining
     def mine_hard_negatives(self, net, params, dataset, scorer, corpus, epoch):
@@ -184,16 +213,16 @@ class Execution(VqaExecution):
                 cand[forbidden] = rng.randint(0, n_caps, int(forbidden.sum()))
                 forbidden = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
             img_pairs = np.repeat(idxs, R)
-            pad = group * R - g * R
+            cap_pairs = cand.reshape(-1)
+            pad = group * R - g * R  # keep one compiled shape per sweep
             if pad:
                 img_pairs = np.pad(img_pairs, (0, pad))
-            cap_pairs = cand.reshape(-1)
-            if pad:
                 cap_pairs = np.pad(cap_pairs, (0, pad))
-            scores = scorer(params, corpus, text_enc,
-                            jnp.asarray(img_pairs), jnp.asarray(cap_pairs))
-            new_caps[idxs] = topk_from_scores(
-                np.asarray(scores)[:g * R], cand)
+            scores = sharded_pair_call(
+                self.mesh, self.n_shards,
+                lambda ii, cc: scorer(params, corpus, text_enc, ii, cc),
+                img_pairs, cap_pairs)
+            new_caps[idxs] = topk_from_scores(scores[:g * R], cand)
         dataset.neg_caps_idx_tensor = new_caps
 
         # -- negative images, per caption
@@ -212,9 +241,11 @@ class Execution(VqaExecution):
             if pad:
                 cap_pairs = np.pad(cap_pairs, (0, pad))
                 img_pairs = np.pad(img_pairs, (0, pad))
-            scores = scorer(params, corpus, text_enc,
-                            jnp.asarray(img_pairs), jnp.asarray(cap_pairs))
-            new_imgs[idxs] = topk_from_scores(np.asarray(scores)[:g * R], cand)
+            scores = sharded_pair_call(
+                self.mesh, self.n_shards,
+                lambda ii, cc: scorer(params, corpus, text_enc, ii, cc),
+                img_pairs, cap_pairs)
+            new_imgs[idxs] = topk_from_scores(scores[:g * R], cand)
         dataset.neg_imgs_idx_tensor = new_imgs
 
     # ----------------------------------------------------------------- train
@@ -237,7 +268,7 @@ class Execution(VqaExecution):
         params = pmesh.replicate(self.mesh, params)
         opt_state = pmesh.replicate(self.mesh, opt_state)
         train_step = self.make_train_step(net, optim)
-        scorer = self.make_pair_scorer(net)
+        scorer = self.cached_step("scorer", net, self.make_pair_scorer)
         corpus = self.device_corpus(dataset)  # resident for mining
 
         step_key = jax.random.PRNGKey(cfg.SEED + 1)
@@ -297,7 +328,7 @@ class Execution(VqaExecution):
             ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
             params = pmesh.replicate(self.mesh, ckpt["state_dict"])
 
-        scorer = self.make_pair_scorer(net)
+        scorer = self.cached_step("scorer", net, self.make_pair_scorer)
         corpus = self.device_corpus(dataset)
         text_enc = self.encode_corpus_text(net, params, corpus)
         n_caps = len(dataset)
@@ -316,8 +347,9 @@ class Execution(VqaExecution):
             if pad:
                 ii = np.pad(ii, (0, pad))
                 cc = np.pad(cc, (0, pad))
-            s = np.asarray(scorer(params, corpus, text_enc,
-                                  jnp.asarray(ii), jnp.asarray(cc)))
+            s = sharded_pair_call(
+                self.mesh, self.n_shards,
+                lambda a, b: scorer(params, corpus, text_enc, a, b), ii, cc)
             if pad:
                 s = s[:-pad]
             score_mat.reshape(-1)[start:start + len(s)] = s

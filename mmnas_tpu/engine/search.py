@@ -53,6 +53,17 @@ class SearchExecution:
             from mmnas_tpu.ops import attention
             attention.use_pallas(True)
 
+    def cached_step(self, kind: str, net, builder):
+        """Memoize jitted step builders per (kind, net) — a fresh closure
+        per eval() call would retrace/recompile every epoch."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = (kind, id(net))
+        if key not in cache:
+            cache[key] = builder(net)
+        return cache[key]
+
     # ---- task hooks --------------------------------------------------------
     def loss(self, pred, batch):
         """BCEWithLogits sum (search_vqa.py:211,282)."""
@@ -107,21 +118,31 @@ class SearchExecution:
 
     def make_arch_step(self, net: NetSearch, alpha_optim: WarmupAdam):
         n_shards = self.n_shards
+        mode = self.cfg.ALPHA_BINARY_MODE
+        if mode not in ("full", "two"):
+            # 'full_v2' is asserted off in the reference too (mixed.py:71)
+            raise ValueError(f"ALPHA_BINARY_MODE={mode!r} (use 'full' or 'two')")
 
         def step(alpha, alpha_opt_state, params, batch, rng):
             k_sample, k_drop = jax.random.split(rng)
-            idx = net.sample_indices(k_sample, alpha)
+            if mode == "two":
+                idx = net.sample_indices_two(k_sample, alpha)
+            else:
+                idx = net.sample_indices(k_sample, alpha)
 
             def loss_fn(a):
                 return self.forward_loss(net, params, a, batch, idx,
-                                         "full", k_drop)
+                                         mode, k_drop)
 
             loss, grads = jax.value_and_grad(loss_fn)(alpha)
             # DDP averages the gate grads before the Jacobian map
             grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
-            alpha, alpha_opt_state, _ = alpha_optim.step(
+            new_alpha, alpha_opt_state, _ = alpha_optim.step(
                 alpha_opt_state, alpha, grads)
-            return alpha, alpha_opt_state, loss
+            if mode == "two":
+                # keep pair logsumexp constant (mixed.py:200-208)
+                new_alpha = net.rescale_alpha(alpha, new_alpha, idx)
+            return new_alpha, alpha_opt_state, loss
 
         return jax.jit(step, donate_argnums=(0, 1))
 
@@ -250,7 +271,7 @@ class SearchExecution:
     def eval(self, eval_loader: Loader, net: NetSearch, params, alpha):
         """argmax-path eval (search_vqa.py:400-470 semantics)."""
         eval_loader.sampler.set_shuffle(False)
-        eval_step = self.make_eval_step(net)
+        eval_step = self.cached_step("eval", net, self.make_eval_step)
         preds, batches = [], []
         for batch in eval_loader:
             sb = pmesh.shard_batch(self.mesh, batch)
@@ -270,10 +291,14 @@ class SearchExecution:
 
     # ---- run ---------------------------------------------------------------
     def make_loader(self, dataset, shuffle: bool, subset_indices=None) -> Loader:
+        # both bilevel loaders use BATCH_SIZE (search_vqa.py:560-583)
         pc, pi = jax.process_count(), jax.process_index()
-        per_proc = max(1, self.global_batch() // pc)
+        if self.global_batch() % pc != 0:
+            raise ValueError(
+                f"global batch {self.global_batch()} not divisible by "
+                f"process count {pc}")
         return Loader(
-            dataset, per_proc,
+            dataset, self.global_batch() // pc,
             sampler=SubsetShardSampler(len(dataset), num_replicas=pc, rank=pi,
                                        shuffle=shuffle,
                                        subset_indices=subset_indices),

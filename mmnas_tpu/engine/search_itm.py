@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmnas_tpu.engine.itm import recall_metrics
+from mmnas_tpu.engine.itm import recall_metrics, sharded_pair_call
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
 from mmnas_tpu.models.supernet import NetSearch
+from mmnas_tpu.parallel import mesh as pmesh
 from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
 from mmnas_tpu.utils.logger import is_writer
 
@@ -73,6 +74,11 @@ class SearchExecution(SearchBase):
 
     # ---- supernet pair scorer (mining + eval) ------------------------------
     def make_pair_scorer(self, net: NetSearch):
+        """Pair-index arrays sharded over 'data', corpus/params/alpha
+        replicated (TPU analog of train_itm.py:470-500 rank row-sharding)."""
+        repl = pmesh.replicated_sharding(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
         def score(params, alpha, corpus, idx, img_idx, cap_idx):
             batch = {
                 "frcn_feat": corpus["frcn_feat"][img_idx],
@@ -85,13 +91,15 @@ class SearchExecution(SearchBase):
             }
             return net.apply(params, alpha, batch, idx, mode="sampled",
                              train=False)
-        return jax.jit(score)
+        return jax.jit(score, in_shardings=(repl, repl, repl, repl, data, data),
+                       out_shardings=repl)
 
     def device_corpus(self, dataset):
         caps, _ = dataset.get_all_caps()
         frcn, bbox_feat, rel = dataset.get_all_imgs()
-        return {"caps": jnp.asarray(caps), "frcn_feat": jnp.asarray(frcn),
-                "bbox_feat": jnp.asarray(bbox_feat), "rel_img": jnp.asarray(rel)}
+        return pmesh.replicate(self.mesh, {
+            "caps": jnp.asarray(caps), "frcn_feat": jnp.asarray(frcn),
+            "bbox_feat": jnp.asarray(bbox_feat), "rel_img": jnp.asarray(rel)})
 
     def on_epoch_start(self, net, params, alpha, dataset, epoch):
         """Hard-negative mining with a sampled path (search_itm.py:267-270)."""
@@ -135,13 +143,12 @@ class SearchExecution(SearchBase):
                 if pad:
                     rep = np.pad(rep, (0, pad))
                     flat = np.pad(flat, (0, pad))
-                if per_img:
-                    s = scorer(params, alpha, corpus, idx,
-                               jnp.asarray(rep), jnp.asarray(flat))
-                else:
-                    s = scorer(params, alpha, corpus, idx,
-                               jnp.asarray(flat), jnp.asarray(rep))
-                s = np.asarray(s)[:g * R].reshape(g, R)
+                ii, cc = (rep, flat) if per_img else (flat, rep)
+                s = sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, alpha, corpus, idx, a, b),
+                    ii, cc)
+                s = s[:g * R].reshape(g, R)
                 order = np.argsort(-s, axis=-1)[:, :H]
                 out[idxs] = np.take_along_axis(cand, order, axis=1)
             return out
@@ -173,8 +180,9 @@ class SearchExecution(SearchBase):
             pad = bs_pairs - len(ii)
             if pad:
                 ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
-            s = np.asarray(scorer(params, alpha, corpus, idx,
-                                  jnp.asarray(ii), jnp.asarray(cc)))
+            s = sharded_pair_call(
+                self.mesh, self.n_shards,
+                lambda a, b: scorer(params, alpha, corpus, idx, a, b), ii, cc)
             if pad:
                 s = s[:-pad]
             score_mat.reshape(-1)[start:start + len(s)] = s

@@ -57,7 +57,7 @@ class SearchExecution(SearchBase):
     def eval(self, eval_loader: Loader, net: NetSearch, params, alpha):
         eval_loader.sampler.set_shuffle(False)
         folded = fold_bbox_norm(self.cfg, params)
-        eval_step = self.make_eval_step(net)
+        eval_step = self.cached_step("eval", net, self.make_eval_step)
         hits = []
         for batch in eval_loader:
             sb = pmesh.shard_batch(self.mesh, batch)

@@ -154,7 +154,7 @@ class Execution(VqaExecution):
             params = pmesh.replicate(self.mesh, ckpt["state_dict"])
 
         folded = fold_bbox_norm(cfg, params)
-        eval_step = self.make_eval_step(net)
+        eval_step = self.cached_step("eval", net, self.make_eval_step)
         hits = []
         for batch in eval_loader:
             sb = pmesh.shard_batch(self.mesh, batch)

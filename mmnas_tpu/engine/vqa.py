@@ -50,6 +50,18 @@ class Execution:
             from mmnas_tpu.ops import attention
             attention.use_pallas(True)
 
+    def cached_step(self, kind: str, net, builder):
+        """Memoize jitted step builders per (kind, net): a fresh closure per
+        eval() call would retrace+recompile every epoch (~70s/compile on the
+        real chip)."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = (kind, id(net))
+        if key not in cache:
+            cache[key] = builder(net)
+        return cache[key]
+
     # ------------------------------------------------------------------ data
     def build_dataset(self, run_mode: str):
         cfg = self.cfg
@@ -62,14 +74,23 @@ class Execution:
     def global_batch(self) -> int:
         return self.cfg.BATCH_SIZE * self.n_shards
 
-    def make_loader(self, dataset, shuffle: bool, subset_indices=None) -> Loader:
+    def make_loader(self, dataset, shuffle: bool, subset_indices=None,
+                    batch_size: Optional[int] = None) -> Loader:
         """Per-process loader: rank-strided over processes, with the
         per-process slice of the global batch (multi-host follows the
-        reference's per-rank DataLoader layout, SURVEY.md §2.5)."""
+        reference's per-rank DataLoader layout, SURVEY.md §2.5).
+
+        batch_size is the per-shard size (default cfg.BATCH_SIZE); eval
+        paths pass cfg.EVAL_BATCH_SIZE (train_vqa.py:374-376 sizes eval
+        loaders separately)."""
         pc, pi = jax.process_count(), jax.process_index()
-        per_proc = max(1, self.global_batch() // pc)
+        global_bs = (batch_size or self.cfg.BATCH_SIZE) * self.n_shards
+        if global_bs % pc != 0:
+            raise ValueError(
+                f"global batch {global_bs} not divisible by process count "
+                f"{pc}; adjust BATCH_SIZE so every host gets an equal slice")
         return Loader(
-            dataset, per_proc,
+            dataset, global_bs // pc,
             sampler=SubsetShardSampler(len(dataset), num_replicas=pc, rank=pi,
                                        shuffle=shuffle,
                                        subset_indices=subset_indices),
@@ -204,7 +225,7 @@ class Execution:
             ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
             params = pmesh.replicate(self.mesh, ckpt["state_dict"])
 
-        eval_step = self.make_eval_step(net)
+        eval_step = self.cached_step("eval", net, self.make_eval_step)
         preds = []
         ans_scores = []
         for batch in eval_loader:
@@ -258,9 +279,11 @@ class Execution:
             eval_loader = None
             if cfg.EVAL_EVERY_EPOCH:
                 eval_set = self.build_dataset("val")
-                eval_loader = self.make_loader(eval_set, shuffle=False)
+                eval_loader = self.make_loader(eval_set, shuffle=False,
+                                               batch_size=cfg.EVAL_BATCH_SIZE)
             return self.train(train_loader, eval_loader)
         else:
             eval_set = self.build_dataset(cfg.RUN_MODE)
-            eval_loader = self.make_loader(eval_set, shuffle=False)
+            eval_loader = self.make_loader(eval_set, shuffle=False,
+                                           batch_size=cfg.EVAL_BATCH_SIZE)
             return self.eval(eval_loader, valid=(cfg.RUN_MODE == "val"))

@@ -132,6 +132,43 @@ class NetSearch:
             "dec": jnp.argmax(alpha["dec"], axis=-1),
         }
 
+    def sample_indices_two(self, rng, alpha) -> Dict[str, jnp.ndarray]:
+        """Two-path sampling (mixed.py:136-148): per node, draw 2 DISTINCT
+        ops from softmax(alpha) (Gumbel-top-2 == multinomial without
+        replacement), then pick the active one from the renormalized pair
+        probabilities softmax(alpha[pair]). Returns [n_nodes, 2] per cell
+        type — column 0 = active, column 1 = inactive."""
+        out = {}
+        for i, cell_type in enumerate(("enc", "dec")):
+            kg, kc = jax.random.split(jax.random.fold_in(rng, i))
+            a = alpha[cell_type]                             # [n, C]
+            g = jax.random.gumbel(kg, a.shape, a.dtype)
+            _, pair = jax.lax.top_k(a + g, 2)                # [n, 2] distinct
+            pair_alpha = jnp.take_along_axis(a, pair, axis=1)
+            c = jax.random.categorical(kc, pair_alpha, axis=-1)  # active slot
+            act = jnp.take_along_axis(pair, c[:, None], axis=1)
+            inact = jnp.take_along_axis(pair, (1 - c)[:, None], axis=1)
+            out[cell_type] = jnp.concatenate([act, inact], axis=1)
+        return out
+
+    def rescale_alpha(self, alpha_old, alpha_new, idx) -> Dict[str, jnp.ndarray]:
+        """rescale_updated_arch_param (mixed.py:200-208): after the alpha
+        optimizer step in 'two' mode, shift the two involved logits so
+        logsumexp over the pair is unchanged (keeps the un-updated ops'
+        probabilities consistent across partial updates)."""
+        out = {}
+        for cell_type in ("enc", "dec"):
+            pair = idx[cell_type]                            # [n, 2]
+            old = jnp.take_along_axis(alpha_old[cell_type], pair, axis=1)
+            new = jnp.take_along_axis(alpha_new[cell_type], pair, axis=1)
+            offset = (jax.scipy.special.logsumexp(new, axis=1)
+                      - jax.scipy.special.logsumexp(old, axis=1))  # [n]
+            n_choices = alpha_old[cell_type].shape[-1]
+            involved = (jax.nn.one_hot(pair[:, 0], n_choices)
+                        + jax.nn.one_hot(pair[:, 1], n_choices))
+            out[cell_type] = alpha_new[cell_type] - offset[:, None] * involved
+        return out
+
     # -- forward ------------------------------------------------------------
 
     def _run_nodes_sampled(self, nodes, node_params, idx, s, pre, s_mask,
@@ -174,10 +211,38 @@ class NetSearch:
             s = sum(gates[j] * outs[j] for j in range(n_choices))
         return s
 
+    def _run_nodes_two(self, nodes, node_params, idx, alpha, s, pre, s_mask,
+                       pre_mask, rel, train, rngs):
+        """Two-path arch step (mixed.py:60-68 under MODE='two'): only the
+        two sampled branches execute (lax.switch each), combined with
+        straight-through gates built from softmax over the PAIR's logits
+        — autodiff then yields exactly the reference's 2x2 Jacobian update
+        (mixed.py:179-186); uninvolved ops get zero alpha gradient."""
+        for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+            branches = [
+                (lambda op, p: lambda x: op.apply(
+                    p, x, pre, s_mask, pre_mask, rel, train, rngs))(op, p)
+                for op, p in zip(node, np_)
+            ]
+            ia, ib = idx[ni, 0], idx[ni, 1]
+            pair_alpha = jnp.stack([alpha[ni][ia], alpha[ni][ib]])
+            p_pair = jax.nn.softmax(pair_alpha)
+            # gate values (1, 0) as in binarize(); probs differentiable
+            gates = (jnp.array([1.0, 0.0], p_pair.dtype)
+                     + p_pair - jax.lax.stop_gradient(p_pair))
+            out_a = jax.lax.switch(ia, branches, s)
+            out_b = jax.lax.switch(ib, branches, s)
+            gates = gates.astype(out_a.dtype)
+            # inactive-branch detach (mixed.py:67-68)
+            s = gates[0] * out_a + gates[1] * jax.lax.stop_gradient(out_b)
+        return s
+
     def apply(self, params, alpha, batch, idx, mode: str = "sampled",
               train: bool = False, rng=None):
         """mode 'sampled': execute only idx branches (weight step / eval).
-        mode 'full': all branches, straight-through gates (arch step)."""
+        mode 'full': all branches, straight-through gates (arch step).
+        mode 'two': the two idx branches ([n,2] active/inactive pairs),
+        pair-softmax straight-through gates (ALPHA_BINARY_MODE='two')."""
         rngs = P.RngGen(rng)
         from mmnas_tpu.models.net import cast_for_compute, cast_output
         params, batch = cast_for_compute(self.cfg, params, batch)
@@ -198,6 +263,13 @@ class NetSearch:
             y = self._run_nodes_full(self.dec_nodes, params["dec"],
                                      idx["dec"], alpha["dec"], y, x,
                                      y_mask, x_mask, y_rel, train, rngs)
+        elif mode == "two":
+            x = self._run_nodes_two(self.enc_nodes, params["enc"],
+                                    idx["enc"], alpha["enc"], x, None,
+                                    x_mask, None, x_rel, train, rngs)
+            y = self._run_nodes_two(self.dec_nodes, params["dec"],
+                                    idx["dec"], alpha["dec"], y, x,
+                                    y_mask, x_mask, y_rel, train, rngs)
         else:
             raise ValueError(f"unknown mode {mode!r}")
 

@@ -167,3 +167,37 @@ def test_mining_selects_top_scoring_negatives(itm_setup):
                                      jnp2.zeros(len(mined), jnp2.int32),
                                      jnp2.asarray(mined)))
     assert mined_scores.min() >= np.median(s_all) - 1e-6
+
+
+def test_pair_scoring_sharded_matches_single_device():
+    """The data-mesh-sharded pair scorer (TPU analog of the reference's
+    rank-row-sharded score matrix + all_reduce, train_itm.py:470-500) must
+    produce the same scores as the single-device path, and its index
+    inputs must actually span all mesh devices."""
+    from mmnas_tpu.engine.itm import sharded_pair_call
+    from mmnas_tpu.parallel import mesh as pmesh
+
+    ds = SynthItmDataset(tiny_cfg(), size=20, token_size=32, seed=3)
+
+    def score_all(n_devices):
+        ex = Execution(tiny_cfg(N_DEVICES=n_devices, SYNTH_SIZE=20))
+        net = ex.build_net(ds)
+        params = pmesh.replicate(ex.mesh, net.init(jax.random.PRNGKey(1)))
+        corpus = ex.device_corpus(ds)
+        text_enc = ex.encode_corpus_text(net, params, corpus)
+        scorer = ex.cached_step("scorer", net, ex.make_pair_scorer)
+        ii, cc = np.meshgrid(np.arange(4), np.arange(20), indexing="ij")
+        s = sharded_pair_call(
+            ex.mesh, ex.n_shards,
+            lambda a, b: scorer(params, corpus, text_enc, a, b),
+            ii.reshape(-1), cc.reshape(-1))
+        return ex, s
+
+    ex8, s8 = score_all(8)
+    ex1, s1 = score_all(1)
+    np.testing.assert_allclose(s8, s1, rtol=2e-5, atol=2e-6)
+
+    # the sharded call's index arrays are committed over all 8 devices
+    sh = pmesh.batch_sharding(ex8.mesh)
+    arr = jax.device_put(jnp.arange(80, dtype=jnp.int32), sh)
+    assert len(arr.sharding.device_set) == 8

@@ -161,6 +161,146 @@ def test_genotype_schema(setup):
     json.dumps(gene)  # serializable
 
 
+def test_two_mode_forward_equals_sampled(setup):
+    """'two'-mode forward value == the active-index sampled path
+    (binarize sets gate 1/0, mixed.py:147-148)."""
+    cfg, net, params, alpha, batch = setup
+    idx2 = net.sample_indices_two(jax.random.PRNGKey(21), alpha)
+    idx_active = {ct: idx2[ct][:, 0] for ct in ("enc", "dec")}
+    out_s = net.apply(params, alpha, batch, idx_active, mode="sampled",
+                      train=False)
+    out_2 = net.apply(params, alpha, batch, idx2, mode="two", train=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_two_mode_pair_sampling_distinct(setup):
+    cfg, net, params, alpha, batch = setup
+    for seed in range(5):
+        idx2 = net.sample_indices_two(jax.random.PRNGKey(seed), alpha)
+        for ct in ("enc", "dec"):
+            pair = np.asarray(idx2[ct])
+            assert (pair[:, 0] != pair[:, 1]).all(), "pair must be distinct ops"
+            assert (pair >= 0).all() and (pair < len(net.spaces[ct])).all()
+
+
+def test_two_mode_alpha_grad_matches_pair_jacobian(setup):
+    """'two'-mode autodiff == the reference's 2x2 softmax-Jacobian over the
+    sampled pair (mixed.py:179-186); uninvolved ops get zero grad."""
+    cfg, net, params, alpha, batch = setup
+    idx2 = net.sample_indices_two(jax.random.PRNGKey(23), alpha)
+
+    auto = jax.grad(lambda a: _loss(net, params, a, batch, idx2, "two"))(alpha)
+
+    # binary-gate grads b_j = <dL/d(node out), out_j> via free gate vectors
+    # evaluated at the active one-hot point (same machinery as the 'full'
+    # test: at that point the forward state equals the 'two'-mode state).
+    def loss_of_gates(gates):
+        from mmnas_tpu.ops import primitives as P
+        from mmnas_tpu.models.net import apply_stem, apply_heads
+        rngs = P.RngGen(None)
+        x, y, xm, ym, xr, yr = apply_stem(params, cfg, batch, False, rngs)
+
+        def run(nodes, node_params, g, s, pre, sm, pm, rel):
+            for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+                outs = [op.apply(p, s, pre, sm, pm, rel, False, rngs)
+                        for op, p in zip(node, np_)]
+                s = sum(g[ni][j] * outs[j] for j in range(len(outs)))
+            return s
+
+        x = run(net.enc_nodes, params["enc"], gates["enc"], x, None, xm, None, xr)
+        y = run(net.dec_nodes, params["dec"], gates["dec"], y, x, ym, xm, yr)
+        pred = apply_heads(params, cfg, net.ocfg, "vqa", x, y, xm, ym, False, rngs)
+        return jnp.sum(jnp.square(pred))
+
+    onehot = {ct: jax.nn.one_hot(idx2[ct][:, 0], len(net.spaces[ct]))
+              for ct in ("enc", "dec")}
+    b = jax.grad(loss_of_gates)(onehot)
+
+    for ct in ("enc", "dec"):
+        pair = np.asarray(idx2[ct])                       # [n, 2] (act, inact)
+        a_np = np.asarray(alpha[ct])
+        b_np = np.asarray(b[ct])
+        expl = np.zeros_like(a_np)
+        for n in range(a_np.shape[0]):
+            inv = pair[n]                                 # involved indices
+            pa = a_np[n, inv]
+            ps = np.exp(pa - pa.max())
+            ps = ps / ps.sum()                            # probs_slice
+            for i in range(2):
+                for j in range(2):
+                    expl[n, inv[i]] += (b_np[n, inv[j]] * ps[j]
+                                        * ((1.0 if i == j else 0.0) - ps[i]))
+        np.testing.assert_allclose(np.asarray(auto[ct]), expl,
+                                   rtol=2e-4, atol=2e-5)
+        # uninvolved ops: exactly zero
+        mask = np.ones_like(a_np, bool)
+        for n in range(a_np.shape[0]):
+            mask[n, pair[n]] = False
+        if mask.any():  # enc space has only 2 ops -> no uninvolved entries
+            assert np.abs(np.asarray(auto[ct])[mask]).max() == 0.0
+
+
+def test_rescale_alpha_keeps_pair_logsumexp(setup):
+    """rescale_updated_arch_param parity (mixed.py:200-208)."""
+    cfg, net, params, alpha, batch = setup
+    idx2 = net.sample_indices_two(jax.random.PRNGKey(29), alpha)
+    # synthetic "optimizer update": bump the involved entries
+    bump = {ct: jnp.zeros_like(alpha[ct]) for ct in ("enc", "dec")}
+    for ct in ("enc", "dec"):
+        pair = idx2[ct]
+        oh = (jax.nn.one_hot(pair[:, 0], alpha[ct].shape[-1])
+              + jax.nn.one_hot(pair[:, 1], alpha[ct].shape[-1]))
+        bump[ct] = 0.3 * oh
+    new = {ct: alpha[ct] + bump[ct] for ct in ("enc", "dec")}
+    rescaled = net.rescale_alpha(alpha, new, idx2)
+    for ct in ("enc", "dec"):
+        pair = np.asarray(idx2[ct])
+        old_np, res_np = np.asarray(alpha[ct]), np.asarray(rescaled[ct])
+        for n in range(old_np.shape[0]):
+            inv = pair[n]
+            lse_old = np.log(np.exp(old_np[n, inv]).sum())
+            lse_new = np.log(np.exp(res_np[n, inv]).sum())
+            np.testing.assert_allclose(lse_new, lse_old, rtol=1e-5)
+            # uninvolved entries untouched
+            m = np.ones(old_np.shape[1], bool)
+            m[inv] = False
+            np.testing.assert_array_equal(res_np[n, m], old_np[n, m])
+
+
+def test_two_mode_arch_step_e2e():
+    """SearchExecution arch step with ALPHA_BINARY_MODE='two': finite loss,
+    only sampled pairs move, pair logsumexp preserved through the jitted
+    step (rescale applied after Adam)."""
+    from mmnas_tpu.engine.search import SearchExecution
+    from mmnas_tpu.train.optimizer import plain_adam
+
+    cfg = tiny_cfg(ALPHA_BINARY_MODE="two", N_DEVICES=1)
+    ds = SynthVqaDataset(cfg, size=8, token_size=30, ans_size=8, seed=2)
+    net = NetSearch(cfg, {"token_size": 30, "ans_size": 8,
+                          "pretrained_emb": ds.pretrained_emb})
+    params = net.init(jax.random.PRNGKey(0))
+    alpha = net.init_alpha()
+    ex = SearchExecution(cfg)
+    aoptim = plain_adam(cfg.ALPHA_LR_BASE, cfg.ALPHA_OPT_BETAS,
+                        eps=1e-8, weight_decay=0.0)
+    aopt = aoptim.init(alpha)
+    arch_step = ex.make_arch_step(net, aoptim)
+    batch = {k: jnp.asarray(v) for k, v in _stack([ds[i] for i in range(4)]).items()}
+
+    a0 = jax.tree_util.tree_map(np.asarray, alpha)
+    alpha, aopt, loss = arch_step(alpha, aopt, params, batch,
+                                  jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+    moved = max(float(jnp.abs(alpha[ct] - a0[ct]).max()) for ct in ("enc", "dec"))
+    assert moved > 1e-4
+    for ct in ("enc", "dec"):
+        a1 = np.asarray(alpha[ct])
+        # every row has at most 2 changed entries (the sampled pair)
+        changed = (np.abs(a1 - a0[ct]) > 1e-12).sum(axis=1)
+        assert (changed <= 2).all()
+
+
 def test_alpha_moves_toward_better_op():
     """End-to-end sanity: arch steps shift alpha probabilities."""
     cfg = tiny_cfg()
