@@ -136,12 +136,23 @@ def apply_stem(params, cfg, batch, train, rngs):
     _rel_proj = (jax.checkpoint(lambda p, r: jax.nn.relu(P.linear(p, r)))
                  if getattr(cfg, "REMAT", False)
                  else (lambda p, r: jax.nn.relu(P.linear(p, r))))
-    y_rel = _rel_proj(params["linear_y_rel"], batch["rel_img"])
+    # rel is threaded to the ops as a dict carrying BOTH the raw tensor +
+    # stem weights (for the fused Pallas bias chain) and the projected
+    # tensor (jnp path); whichever side goes unused is XLA dead code
+    y_rel = rel_pack(params["linear_y_rel"], batch["rel_img"], _rel_proj)
     if "linear_x_rel" in params:
-        x_rel = _rel_proj(params["linear_x_rel"], batch["rel_ques"])
+        x_rel = rel_pack(params["linear_x_rel"], batch["rel_ques"], _rel_proj)
     else:  # fixed-arch nets pass the raw text relation (full_vqa.py:104)
         x_rel = batch.get("rel_ques", None)
     return x, y, x_mask, y_mask, x_rel, y_rel
+
+
+def rel_pack(lin_p, raw, proj_fn=None):
+    """Relation bundle for RSA ops (see ops/modules._rel_mhatt_apply)."""
+    if proj_fn is None:
+        proj_fn = lambda p, r: jax.nn.relu(P.linear(p, r))
+    return {"raw": raw, "w1": lin_p["w"], "b1": lin_p["b"],
+            "proj": proj_fn(lin_p, raw)}
 
 
 def init_heads(ks, cfg, ocfg: OpCfg, task: str, ans_size: int) -> Dict:
@@ -303,7 +314,7 @@ class NetFull:
         x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
         x = P.lstm(params["lstm"], params["embedding"][ques_ix])
         x_rel = rel_ques if "linear_x_rel" not in params else \
-            jax.nn.relu(P.linear(params["linear_x_rel"], rel_ques))
+            rel_pack(params["linear_x_rel"], rel_ques)
         for cell, cp in zip(self.enc_cells, params["enc"]):
             for node, node_params in zip(cell, cp):
                 x = sum(op.apply(op_p, x, None, x_mask, None, x_rel,
@@ -327,7 +338,7 @@ class NetFull:
             bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
             frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
         y = P.linear(params["imgfeat_linear"], frcn_feat)
-        y_rel = jax.nn.relu(P.linear(params["linear_y_rel"], batch["rel_img"]))
+        y_rel = rel_pack(params["linear_y_rel"], batch["rel_img"])
         for cell, cp in zip(self.dec_cells, params["dec"]):
             for node, node_params in zip(cell, cp):
                 y = sum(op.apply(op_p, y, x_out, y_mask, x_mask, y_rel,

@@ -30,17 +30,48 @@ def use_pallas(flag: bool):
     _USE_PALLAS = flag
 
 
-def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *,
+def rsa_fusion_active(dropout_r: float = 0.0, train: bool = False) -> bool:
+    """True when the RSA rel-chain fusion will actually dispatch — lets the
+    caller skip materializing the [B,H,L,L] log-bias (ops/modules.py)."""
+    if not _USE_PALLAS:
+        return False
+    from mmnas_tpu.ops import pallas_attention
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not pallas_attention.INTERPRET:
+        return False
+    if train and dropout_r > 0.0 and not on_tpu:
+        return False
+    return True
+
+
+def rsa_log_bias(wr, rel_proj):
+    """Reference bias chain from the PROJECTED rel tensor:
+    log(clamp(relu(rel @ Wr + br), 1e-6)) -> [B, H, Lq, Lk]
+    (modules.py:231-235). The fused kernel computes this (plus the stem
+    4->REL projection) in VMEM instead."""
+    r = jax.nn.relu(rel_proj @ wr["w"] + wr["b"])    # [B, L, L, H]
+    r = jnp.transpose(r, (0, 3, 1, 2))
+    return jnp.log(jnp.clip(r, min=1e-6))
+
+
+def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *, rel=None,
                          dropout_r: float = 0.0, train: bool = False, rng=None):
     """q,k,v: [B, H, Lq|Lk, D]; mask: [B, 1, 1, Lk] bool (True = pad);
-    log_bias: [B, H, Lq, Lk] additive pre-softmax bias (already logged)."""
+    log_bias: [B, H, Lq, Lk] additive pre-softmax bias (already logged);
+    rel: (raw, W1, b1, Wr, br) RSA chain for in-kernel bias fusion."""
+    eff_drop = dropout_r if (train and dropout_r > 0.0) else 0.0
     if _USE_PALLAS:
         from mmnas_tpu.ops import pallas_attention
-        eff_drop = dropout_r if (train and dropout_r > 0.0) else 0.0
         out = pallas_attention.try_fused_attention(
-            q, k, v, mask, log_bias, dropout_r=eff_drop, rng=rng)
+            q, k, v, mask, log_bias, rel=rel, dropout_r=eff_drop, rng=rng)
         if out is not None:
             return out
+
+    if rel is not None and log_bias is None:
+        # kernel declined: materialize the bias chain in jnp
+        raw, w1, b1, wrw, wrb = rel
+        proj = jax.nn.relu(raw @ w1 + b1)
+        log_bias = rsa_log_bias({"w": wrw, "b": wrb}, proj)
 
     d_k = q.shape[-1]
     # scores + softmax in float32 even for bf16 inputs (MXU accumulates

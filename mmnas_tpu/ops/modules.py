@@ -100,7 +100,7 @@ def _merge_heads(t):
 
 
 def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
-                 log_bias=None):
+                 log_bias=None, rel_fused=None):
     inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
     n_heads = inside // base
     # fuse projections sharing an input into ONE matmul (the models are
@@ -119,7 +119,7 @@ def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
     vh = _split_heads(vv, n_heads, base)
     kh = _split_heads(kk, n_heads, base)
     qh = _split_heads(qq, n_heads, base)
-    atted = scaled_dot_attention(qh, kh, vh, mask, log_bias,
+    atted = scaled_dot_attention(qh, kh, vh, mask, log_bias, rel=rel_fused,
                                  dropout_r=cfg.dropout_r, train=train, rng=rngs())
     return P.linear(p["wm"], _merge_heads(atted))
 
@@ -139,14 +139,28 @@ def _rsa_bias(p_wr, rel):
     largest activations in the program, and recomputing the tiny
     REL_SIZE->heads matmul in the backward beats keeping it resident
     (lifts the BS-256 search OOM at ~5% step-time cost)."""
-    r = jax.nn.relu(P.linear(p_wr, rel))             # [B, L, L, H]
-    r = jnp.transpose(r, (0, 3, 1, 2))               # [B, H, L, L]
-    return jnp.log(jnp.clip(r, min=1e-6))
+    from mmnas_tpu.ops.attention import rsa_log_bias
+    return rsa_log_bias(p_wr, rel)
 
 
 def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                      train, rngs):
+    """rel is either the projected tensor [B, L, L, REL_SIZE] (legacy/test
+    path) or a dict {'raw': [B,L,L,Rr], 'w1', 'b1', 'proj'} from the stem —
+    with the fused kernel active, the whole bias chain (stem projection +
+    Wr + log/clamp) runs inside the attention kernel and the projected
+    tensor / [B,H,L,L] bias never reach HBM (the stem's 'proj' is then
+    dead code XLA eliminates)."""
     assert rel is not None
+    if isinstance(rel, dict):
+        from mmnas_tpu.ops.attention import rsa_fusion_active
+        if rel.get("raw") is not None and rsa_fusion_active(cfg.dropout_r,
+                                                            train):
+            rel_fused = (rel["raw"], rel["w1"], rel["b1"],
+                         p["wr"]["w"], p["wr"].get("b"))
+            return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
+                                rngs, rel_fused=rel_fused)
+        rel = rel["proj"]
     if cfg.remat:
         log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
     else:

@@ -15,6 +15,24 @@ attention backward (recompute s, a; then dv, da, ds, dq, dk, dbias) as a
 second single-block kernel, so training with attention dropout
 (DROPOUT_R=0.1, the reference default) uses the fused path too.
 
+RSA relation fusion: the reference materializes the whole bias chain in HBM
+(reference modules.py:231-235 via the stem projection at full_vqa.py:103):
+
+    rel  = relu(rel_raw @ W1 + b1)        # [B, L, L, REL_SIZE]  (stem)
+    pre  = rel @ Wr + br                  # [B, L, L, H] -> transpose
+    bias = log(clamp(pre, min=1e-6))      # [B, H, L, L]
+
+at B=128, L=100 that is a 160MB+ HBM round-trip per RSA op (the projected
+rel tensor) plus a 40MB bias tensor. Here the ENTIRE chain runs inside the
+attention kernel from the raw [B, L, L, 4] geometry tensor: per batch
+program the shared t = relu(raw @ W1 + b1) is computed once into a VMEM
+scratch (grid iterates heads fastest; the scratch persists across the head
+programs of one batch row), each head then applies its Wr column and the
+log/clamp epilogue in registers. Neither the projected rel tensor nor the
+bias ever exists in HBM, in forward or backward. The backward kernel
+produces dW1/db1/dWr/dbr as per-batch partials (summed outside — a few KB)
+plus draw accumulated across heads in a resident output block.
+
 Dropout: the forward kernel draws the mask with the TPU PRNG
 (pltpu.prng_seed with seed + b*H + h, threshold on uint32 bits) and EMITS
 it as a bfloat16 0/1 residual for the backward — regenerating inside the
@@ -33,8 +51,9 @@ The pad mask enters as an additive [B, Lk] row vector (broadcast over Lq
 and heads inside the kernel) instead of the [B, H, Lq, Lk] tensor the
 reference materializes (modules.py:195).
 
-Grid: (B, H); blocks are the full per-head arrays; matmul operands stay in
-their input dtype (bf16 double-rate MXU path) with fp32 accumulation.
+Grid: (B, H), heads fastest; blocks are the full per-head arrays; matmul
+operands stay in their input dtype (bf16 double-rate MXU path) with fp32
+accumulation.
 """
 
 from __future__ import annotations
@@ -60,19 +79,44 @@ def _get_pl():
     return pl, pltpu
 
 
-def _unpack(has_bias, has_mask, has_seed, it):
+def _unpack(has_bias, has_mask, has_seed, has_rel, it):
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     b_ref = next(it) if has_bias else None
     m_ref = next(it) if has_mask else None
     seed_ref = next(it) if has_seed else None
-    return q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref
+    rel = None
+    if has_rel:
+        rel = {"raw": next(it), "w1": next(it), "b1": next(it),
+               "wrw": next(it), "wrb": next(it)}
+    return q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref, rel
 
 
-def _scores(q, k, b_ref, m_ref, scale, pl):
+def _rel_t(rel):
+    """Shared per-batch projection t = relu(raw @ W1 + b1) -> [Lq, Lk, R]."""
+    raw = rel["raw"][0]                              # [Lq, Lk, Rr]
+    t = jax.lax.dot_general(raw, rel["w1"][:],       # contract Rr
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = jax.nn.relu(t + rel["b1"][0].astype(jnp.float32))
+    return t
+
+
+def _rel_pre(t, rel, pl):
+    """Per-head pre-clamp bias pre = t @ Wr[:, h] + br[h] -> [Lq, Lk]."""
+    wr_col = rel["wrw"][0, 0]                        # [R] (head block)
+    pre = jax.lax.dot_general(t.astype(wr_col.dtype), wr_col,
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return pre + rel["wrb"][0, pl.program_id(1)]     # br[h] (SMEM scalar)
+
+
+def _scores(q, k, b_ref, m_ref, rel_bias, scale, pl):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if b_ref is not None:
         s = s + b_ref[0, 0].astype(jnp.float32)
+    if rel_bias is not None:
+        s = s + rel_bias
     if m_ref is not None:
         s = s + m_ref[pl.program_id(0)].astype(jnp.float32)[None, :]
     return s
@@ -88,19 +132,32 @@ def _softmax(s):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
+def _fwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     pl, pltpu = _get_pl()
     has_drop = dropout_r > 0.0
     it = iter(refs)
-    q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref = _unpack(
-        has_bias, has_mask, has_drop, it)
+    q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref, rel = _unpack(
+        has_bias, has_mask, has_drop, has_rel, it)
     o_ref = next(it)
     dm_ref = next(it) if has_drop else None
+    t_scr = next(it) if has_rel else None
 
     q = q_ref[0, 0]                              # [Lq, D]
     k = k_ref[0, 0]                              # [Lk, D]
     v = v_ref[0, 0]
-    a = _softmax(_scores(q, k, b_ref, m_ref, scale, pl))
+
+    rel_bias = None
+    if has_rel:
+        # t is shared across the head programs of this batch row: compute
+        # once at h==0 into the persistent scratch (grid heads-fastest,
+        # 'arbitrary' semantics keep the order)
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            t_scr[...] = _rel_t(rel).astype(t_scr.dtype)
+        pre = _rel_pre(t_scr[...], rel, pl)
+        rel_bias = jnp.log(jnp.maximum(pre, 1e-6))  # log(clamp(., 1e-6))
+
+    a = _softmax(_scores(q, k, b_ref, m_ref, rel_bias, scale, pl))
     if has_drop:
         pltpu.prng_seed(seed_ref[0, 0]
                         + pl.program_id(0) * pl.num_programs(1)
@@ -116,7 +173,25 @@ def _fwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed):
+def _rel_specs(pl, pltpu, rel):
+    """BlockSpecs for (raw, w1, b1, wrw, wrb): raw per batch row (resident
+    across the head programs), W1/b1 whole, Wr column + br scalar per head.
+    Wr is shipped as [H, 1, R] (Mosaic needs the last two block dims equal
+    to the array's or (8,128)-aligned)."""
+    raw, w1, b1, wrw, wrb = rel
+    Lq, Lk, Rr = raw.shape[1:]
+    R, H = wrw.shape
+    return [
+        pl.BlockSpec((1, Lq, Lk, Rr), lambda b, h: (b, 0, 0, 0)),
+        pl.BlockSpec((Rr, R), lambda b, h: (0, 0)),
+        pl.BlockSpec((1, R), lambda b, h: (0, 0)),
+        pl.BlockSpec((1, 1, R), lambda b, h: (h, 0, 0)),
+        pl.BlockSpec((1, H), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
+    ], [raw, w1, b1.reshape(1, -1), wrw.T.reshape(H, 1, R),
+        wrb.reshape(1, -1)]
+
+
+def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed, rel=None):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     in_specs = [
@@ -135,16 +210,21 @@ def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed):
         in_specs.append(pl.BlockSpec((1, 1), lambda b, h: (0, 0),
                                      memory_space=pltpu.SMEM))
         args.append(seed)
+    if rel is not None:
+        r_specs, r_args = _rel_specs(pl, pltpu, rel)
+        in_specs += r_specs
+        args += r_args
     return in_specs, args
 
 
-def _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r):
+def _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r):
     pl, pltpu = _get_pl()
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     has_drop = dropout_r > 0.0
+    has_rel = rel is not None
     in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add,
-                                    seed if has_drop else None)
+                                    seed if has_drop else None, rel)
     ospec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0))
     sspec = pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0))
     out_specs = [ospec]
@@ -153,16 +233,24 @@ def _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r):
         out_specs.append(sspec)
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Lq, Lk), jnp.bfloat16))
 
+    scratch_shapes = []
+    if has_rel:
+        R = rel[1].shape[1]
+        scratch_shapes.append(pltpu.VMEM((Lq, Lk, R), q.dtype))
+
     kernel = functools.partial(_fwd_kernel, scale, dropout_r,
-                               bias is not None, mask_add is not None)
+                               bias is not None, mask_add is not None,
+                               has_rel)
     out = pl.pallas_call(
         kernel,
         grid=(B, H),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=(
+                "parallel", "arbitrary" if has_rel else "parallel")),
         interpret=INTERPRET,
     )(*args)
     if has_drop:
@@ -174,23 +262,37 @@ def _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r):
 # backward kernel (standard attention backward, single block)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
+def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     pl, pltpu = _get_pl()
     has_drop = dropout_r > 0.0
     it = iter(refs)
-    q_ref, k_ref, v_ref, b_ref, m_ref, _ = _unpack(
-        has_bias, has_mask, False, it)
+    q_ref, k_ref, v_ref, b_ref, m_ref, _, rel = _unpack(
+        has_bias, has_mask, False, has_rel, it)
     dm_ref = next(it) if has_drop else None
     do_ref = next(it)
     dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
     db_ref = next(it) if has_bias else None
+    if has_rel:
+        dw1_ref, db1_ref, dwrw_ref, dwrb_ref, draw_ref = (
+            next(it), next(it), next(it), next(it), next(it))
+        t_scr = next(it)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
 
-    a = _softmax(_scores(q, k, b_ref, m_ref, scale, pl))  # pre-dropout probs
+    rel_bias = None
+    if has_rel:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            t_scr[...] = _rel_t(rel).astype(t_scr.dtype)
+        t = t_scr[...]
+        pre = _rel_pre(t, rel, pl)
+        pre_c = jnp.maximum(pre, 1e-6)
+        rel_bias = jnp.log(pre_c)
+
+    a = _softmax(_scores(q, k, b_ref, m_ref, rel_bias, scale, pl))
     if has_drop:
         dmask = dm_ref[0, 0].astype(jnp.float32) / (1.0 - dropout_r)
         ad = a * dmask                                     # applied probs
@@ -220,15 +322,57 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, *refs):
     if db_ref is not None:
         db_ref[0, 0] = ds.astype(db_ref.dtype)
 
+    if has_rel:
+        # bias = log(max(pre, 1e-6)); d bias/d pre = [pre > 1e-6] / pre_c
+        dpre = ds * jnp.where(pre > 1e-6, 1.0 / pre_c, 0.0)   # [Lq, Lk]
+        ds_dt = in_dt
+        # dWr[:, h] = sum_{ll'} t * dpre ; dbr[h] = sum dpre   (per-b partial)
+        dwr_col = jax.lax.dot_general(
+            t.astype(ds_dt), dpre.astype(ds_dt),
+            (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)               # [R]
+        dwrw_ref[0, 0, 0] = dwr_col.astype(dwrw_ref.dtype)
+        dwrb_ref[0, 0, 0, 0] = jnp.sum(dpre)
+        # du = (dpre x Wr_col) * [t > 0]   [Lq, Lk, R]
+        wr_col = rel["wrw"][0, 0]                              # [R]
+        du = (dpre[:, :, None] * wr_col[None, None, :].astype(jnp.float32))
+        du = jnp.where(t > 0, du, 0.0)
+        raw = rel["raw"][0]
+        h = pl.program_id(1)
+        # accumulate across head programs in resident output blocks
+        dw1_h = jax.lax.dot_general(
+            raw.astype(ds_dt), du.astype(ds_dt),
+            (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)               # [Rr, R]
+        db1_h = jnp.sum(du, axis=(0, 1))                      # [R]
+        draw_h = jax.lax.dot_general(
+            du.astype(ds_dt), rel["w1"][:].astype(ds_dt),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [Lq, Lk, Rr]
 
-def _bwd_call(q, k, v, bias, mask_add, dmask, scale, dropout_r, do):
+        @pl.when(h == 0)
+        def _():
+            dw1_ref[0] = dw1_h.astype(dw1_ref.dtype)
+            db1_ref[0, 0] = db1_h.astype(db1_ref.dtype)
+            draw_ref[0] = draw_h.astype(draw_ref.dtype)
+
+        @pl.when(h > 0)
+        def _():
+            dw1_ref[0] += dw1_h.astype(dw1_ref.dtype)
+            db1_ref[0, 0] += db1_h.astype(db1_ref.dtype)
+            draw_ref[0] += draw_h.astype(draw_ref.dtype)
+
+
+def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
     pl, pltpu = _get_pl()
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     has_bias = bias is not None
     has_drop = dropout_r > 0.0
+    has_rel = rel is not None
 
-    in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, None)
+    in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add,
+                                    None, rel)
     qspec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0))
     kspec = pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0))
     sspec = pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0))
@@ -246,43 +390,88 @@ def _bwd_call(q, k, v, bias, mask_add, dmask, scale, dropout_r, do):
         out_specs.append(sspec)
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Lq, Lk), bias.dtype))
 
+    scratch_shapes = []
+    if has_rel:
+        raw, w1, b1, wrw, wrb = rel
+        Rr, R = w1.shape
+        # per-batch fp32 partials (summed over B outside: a few KB)
+        out_specs += [
+            pl.BlockSpec((1, Rr, R), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, R), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, Lq, Lk, Rr), lambda b, h: (b, 0, 0, 0)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, Rr, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, Lk, Rr), jnp.float32),
+        ]
+        scratch_shapes.append(pltpu.VMEM((Lq, Lk, R), q.dtype))
+
     kernel = functools.partial(_bwd_kernel, scale, dropout_r,
-                               has_bias, mask_add is not None)
+                               has_bias, mask_add is not None, has_rel)
     out = pl.pallas_call(
         kernel,
         grid=(B, H),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=(
+                "parallel", "arbitrary" if has_rel else "parallel")),
         interpret=INTERPRET,
     )(*args)
-    return out if has_bias else (*out, None)
+
+    out = list(out)
+    dq, dk, dv = out[:3]
+    dbias = out[3] if has_bias else None
+    drel = None
+    if has_rel:
+        dw1_p, db1_p, dwrw_p, dwrb_p, draw = out[3 + int(has_bias):]
+        raw, w1, b1, wrw, wrb = rel
+        drel = (
+            draw.astype(raw.dtype),
+            jnp.sum(dw1_p, axis=0).astype(w1.dtype),
+            jnp.sum(db1_p, axis=0)[0].astype(b1.dtype),
+            jnp.sum(dwrw_p, axis=0)[:, 0, :].T.astype(wrw.dtype),
+            jnp.sum(dwrb_p, axis=0)[:, 0, 0].astype(wrb.dtype),
+        )
+    return dq, dk, dv, dbias, drel
 
 
 # ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _fused(q, k, v, bias, mask_add, seed, scale, dropout_r):
-    out, _ = _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _fused(q, k, v, bias, mask_add, seed, raw, w1, b1, wrw, wrb,
+           scale, dropout_r):
+    rel = None if raw is None else (raw, w1, b1, wrw, wrb)
+    out, _ = _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r)
     return out
 
 
-def _fused_fwd(q, k, v, bias, mask_add, seed, scale, dropout_r):
-    out, dmask = _fwd_call(q, k, v, bias, mask_add, seed, scale, dropout_r)
-    return out, (q, k, v, bias, mask_add, seed, dmask)
+def _fused_fwd(q, k, v, bias, mask_add, seed, raw, w1, b1, wrw, wrb,
+               scale, dropout_r):
+    rel = None if raw is None else (raw, w1, b1, wrw, wrb)
+    out, dmask = _fwd_call(q, k, v, bias, mask_add, seed, rel, scale,
+                           dropout_r)
+    return out, (q, k, v, bias, mask_add, seed, rel, dmask)
 
 
 def _fused_bwd(scale, dropout_r, res, do):
-    q, k, v, bias, mask_add, seed, dmask = res
-    dq, dk, dv, dbias = _bwd_call(q, k, v, bias, mask_add, dmask, scale,
-                                  dropout_r, do)
+    q, k, v, bias, mask_add, seed, rel, dmask = res
+    dq, dk, dv, dbias, drel = _bwd_call(q, k, v, bias, mask_add, rel, dmask,
+                                        scale, dropout_r, do)
     dmask_add = None if mask_add is None else jnp.zeros_like(mask_add)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)  # int input
-    return dq, dk, dv, dbias, dmask_add, dseed
+    if drel is None:
+        drel = (None,) * 5
+    return (dq, dk, dv, dbias, dmask_add, dseed, *drel)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -293,10 +482,14 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 def fused_attention(q, k, v, mask=None, log_bias=None, *,
-                    dropout_r: float = 0.0, rng=None):
+                    rel=None, dropout_r: float = 0.0, rng=None):
     """q,k,v: [B, H, L, D]; mask: [B, 1, 1, Lk] bool (True = pad);
-    log_bias: [B, H, Lq, Lk] additive pre-softmax bias; dropout_r > 0
-    requires an rng key (attention-weight dropout, modules.py:197)."""
+    log_bias: [B, H, Lq, Lk] additive pre-softmax bias; rel (RSA fusion):
+    (raw [B, Lq, Lk, Rr], W1 [Rr, R], b1 [R], Wr [R, H], br [H]) — the
+    whole reference bias chain (modules.py:231-235 + the stem projection)
+    computed in-kernel. dropout_r > 0 requires an rng key
+    (attention-weight dropout, modules.py:197)."""
+    assert not (log_bias is not None and rel is not None)
     scale = 1.0 / math.sqrt(q.shape[-1])
     mask_add = None
     if mask is not None:
@@ -306,21 +499,25 @@ def fused_attention(q, k, v, mask=None, log_bias=None, *,
         seed = jax.random.randint(rng, (1, 1), 0, 2**31 - 1, dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    return _fused(q, k, v, log_bias, mask_add, seed, scale, float(dropout_r))
+    raw, w1, b1, wrw, wrb = rel if rel is not None else (None,) * 5
+    return _fused(q, k, v, log_bias, mask_add, seed, raw, w1, b1, wrw, wrb,
+                  scale, float(dropout_r))
 
 
 def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
-                        dropout_r: float = 0.0, rng=None):
+                        rel=None, dropout_r: float = 0.0, rng=None):
     """Dispatch hook: returns None when the kernel should not be used
     (non-TPU backend without interpret mode; dropout needs the TPU PRNG)."""
     if q.ndim != 4:
         return None
+    if rel is not None and q.shape[2] != k.shape[2]:
+        return None  # RSA is self-attention (Lq == Lk)
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu and not INTERPRET:
         return None
     if dropout_r > 0.0 and not on_tpu:
         return None  # pltpu.prng_* has no CPU interpret lowering
-    return fused_attention(q, k, v, mask, log_bias,
+    return fused_attention(q, k, v, mask, log_bias, rel=rel,
                            dropout_r=dropout_r, rng=rng)
 
 
