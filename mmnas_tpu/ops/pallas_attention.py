@@ -79,7 +79,7 @@ def _get_pl():
     return pl, pltpu
 
 
-def _unpack(has_bias, has_mask, has_seed, has_rel, it):
+def _unpack(has_bias, has_mask, has_seed, has_rel, it, bwd=False):
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     b_ref = next(it) if has_bias else None
     m_ref = next(it) if has_mask else None
@@ -88,26 +88,46 @@ def _unpack(has_bias, has_mask, has_seed, has_rel, it):
     if has_rel:
         rel = {"raw": next(it), "w1": next(it), "b1": next(it),
                "wrw": next(it), "wrb": next(it)}
+        if bwd:  # extra layouts the backward needs (see _rel_specs)
+            rel["wrw_row"] = next(it)
+            rel["w1t"] = next(it)
     return q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref, rel
 
 
-def _rel_t(rel):
-    """Shared per-batch projection t = relu(raw @ W1 + b1) -> [Lq, Lk, R]."""
-    raw = rel["raw"][0]                              # [Lq, Lk, Rr]
-    t = jax.lax.dot_general(raw, rel["w1"][:],       # contract Rr
-                            (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    t = jax.nn.relu(t + rel["b1"][0].astype(jnp.float32))
-    return t
+def _rel_chunks(Lq):
+    """Static Lq row chunking: Mosaic's stack allocator keeps every live
+    vector transient resident, and several rel-chain intermediates are
+    lane-padded 128x ([c, Lk, 1] matvec results) or plain large
+    ([c, Lk, R] fp32) — chunking + storing into scratch bounds the peak."""
+    c = Lq if Lq <= 32 else (Lq + 3) // 4
+    return [(s, min(Lq, s + c) - s) for s in range(0, Lq, c)]
 
 
-def _rel_pre(t, rel, pl):
-    """Per-head pre-clamp bias pre = t @ Wr[:, h] + br[h] -> [Lq, Lk]."""
-    wr_col = rel["wrw"][0, 0]                        # [R] (head block)
-    pre = jax.lax.dot_general(t.astype(wr_col.dtype), wr_col,
-                              (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    return pre + rel["wrb"][0, pl.program_id(1)]     # br[h] (SMEM scalar)
+def _rel_t_into(t_scr, rel):
+    """t = relu(raw @ W1 + b1) -> t_scr [Lq, Lk, R], in row chunks."""
+    raw = rel["raw"]                                 # ref [1, Lq, Lk, Rr]
+    w1 = rel["w1"][:]
+    b1 = rel["b1"][0].astype(jnp.float32)
+    for s, c in _rel_chunks(raw.shape[1]):
+        tt = jax.lax.dot_general(raw[0, s:s + c], w1,
+                                 (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        t_scr[s:s + c] = jax.nn.relu(tt + b1).astype(t_scr.dtype)
+
+
+def _rel_pre_into(pre_scr, t_scr, rel, pl):
+    """pre = t @ Wr[:, h] + br[h] -> pre_scr [Lq, Lk], in row chunks.
+
+    Wr arrives as a [R, 1] head block: Mosaic rejects rank-1 matvec
+    contractions ([L,L] -> [10000] shape cast) but compiles the [.,.,1]
+    result + minor-dim index (probed on v5e)."""
+    wr_col = rel["wrw"][0]                           # [R, 1] (head block)
+    br = rel["wrb"][0, pl.program_id(1)]
+    for s, c in _rel_chunks(pre_scr.shape[0]):
+        p3 = jax.lax.dot_general(
+            t_scr[s:s + c].astype(wr_col.dtype), wr_col,
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        pre_scr[s:s + c] = p3[:, :, 0] + br
 
 
 def _scores(q, k, b_ref, m_ref, rel_bias, scale, pl):
@@ -141,6 +161,7 @@ def _fwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     o_ref = next(it)
     dm_ref = next(it) if has_drop else None
     t_scr = next(it) if has_rel else None
+    pre_scr = next(it) if has_rel else None
 
     q = q_ref[0, 0]                              # [Lq, D]
     k = k_ref[0, 0]                              # [Lk, D]
@@ -153,9 +174,9 @@ def _fwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
         # 'arbitrary' semantics keep the order)
         @pl.when(pl.program_id(1) == 0)
         def _():
-            t_scr[...] = _rel_t(rel).astype(t_scr.dtype)
-        pre = _rel_pre(t_scr[...], rel, pl)
-        rel_bias = jnp.log(jnp.maximum(pre, 1e-6))  # log(clamp(., 1e-6))
+            _rel_t_into(t_scr, rel)
+        _rel_pre_into(pre_scr, t_scr, rel, pl)
+        rel_bias = jnp.log(jnp.maximum(pre_scr[...], 1e-6))  # log(clamp)
 
     a = _softmax(_scores(q, k, b_ref, m_ref, rel_bias, scale, pl))
     if has_drop:
@@ -173,25 +194,40 @@ def _fwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _rel_specs(pl, pltpu, rel):
-    """BlockSpecs for (raw, w1, b1, wrw, wrb): raw per batch row (resident
-    across the head programs), W1/b1 whole, Wr column + br scalar per head.
-    Wr is shipped as [H, 1, R] (Mosaic needs the last two block dims equal
-    to the array's or (8,128)-aligned)."""
+def _rel_specs(pl, pltpu, rel, bwd=False):
+    """BlockSpecs for the rel-chain operands. Layouts are dictated by the
+    Mosaic block rule (last two block dims (8,128)-aligned or equal to the
+    array's) and by which value shapes lower (probed on v5e):
+      raw  [B,Lq,Lk,Rr]  per batch row, resident across the head programs
+      w1   [Rr,R] whole; b1 as [1,R]
+      wrw  [H,R,1]  one [R,1] column per head (matvec-able, see _rel_pre)
+      wrb  [1,H]    whole in SMEM, indexed by program_id
+    backward adds:
+      wrw_row [H,1,R]  the same column as a [R] row (for the du broadcast)
+      w1t  [R,Rr]  transposed W1 (draw contraction wants rhs dim 0)."""
     raw, w1, b1, wrw, wrb = rel
     Lq, Lk, Rr = raw.shape[1:]
     R, H = wrw.shape
-    return [
+    specs = [
         pl.BlockSpec((1, Lq, Lk, Rr), lambda b, h: (b, 0, 0, 0)),
         pl.BlockSpec((Rr, R), lambda b, h: (0, 0)),
         pl.BlockSpec((1, R), lambda b, h: (0, 0)),
-        pl.BlockSpec((1, 1, R), lambda b, h: (h, 0, 0)),
+        pl.BlockSpec((1, R, 1), lambda b, h: (h, 0, 0)),
         pl.BlockSpec((1, H), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
-    ], [raw, w1, b1.reshape(1, -1), wrw.T.reshape(H, 1, R),
-        wrb.reshape(1, -1)]
+    ]
+    args = [raw, w1, b1.reshape(1, -1), wrw.T.reshape(H, R, 1),
+            wrb.reshape(1, -1)]
+    if bwd:
+        specs += [
+            pl.BlockSpec((1, 1, R), lambda b, h: (h, 0, 0)),
+            pl.BlockSpec((R, Rr), lambda b, h: (0, 0)),
+        ]
+        args += [wrw.T.reshape(H, 1, R), w1.T]
+    return specs, args
 
 
-def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed, rel=None):
+def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed, rel=None,
+                   bwd=False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     in_specs = [
@@ -211,7 +247,7 @@ def _in_specs_args(pl, pltpu, q, k, v, bias, mask_add, seed, rel=None):
                                      memory_space=pltpu.SMEM))
         args.append(seed)
     if rel is not None:
-        r_specs, r_args = _rel_specs(pl, pltpu, rel)
+        r_specs, r_args = _rel_specs(pl, pltpu, rel, bwd=bwd)
         in_specs += r_specs
         args += r_args
     return in_specs, args
@@ -236,7 +272,8 @@ def _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r):
     scratch_shapes = []
     if has_rel:
         R = rel[1].shape[1]
-        scratch_shapes.append(pltpu.VMEM((Lq, Lk, R), q.dtype))
+        scratch_shapes += [pltpu.VMEM((Lq, Lk, R), q.dtype),
+                           pltpu.VMEM((Lq, Lk), jnp.float32)]
 
     kernel = functools.partial(_fwd_kernel, scale, dropout_r,
                                bias is not None, mask_add is not None,
@@ -267,7 +304,7 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     has_drop = dropout_r > 0.0
     it = iter(refs)
     q_ref, k_ref, v_ref, b_ref, m_ref, _, rel = _unpack(
-        has_bias, has_mask, False, has_rel, it)
+        has_bias, has_mask, False, has_rel, it, bwd=True)
     dm_ref = next(it) if has_drop else None
     do_ref = next(it)
     dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
@@ -276,6 +313,7 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
         dw1_ref, db1_ref, dwrw_ref, dwrb_ref, draw_ref = (
             next(it), next(it), next(it), next(it), next(it))
         t_scr = next(it)
+        pre_scr = next(it)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -286,9 +324,9 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
     if has_rel:
         @pl.when(pl.program_id(1) == 0)
         def _():
-            t_scr[...] = _rel_t(rel).astype(t_scr.dtype)
-        t = t_scr[...]
-        pre = _rel_pre(t, rel, pl)
+            _rel_t_into(t_scr, rel)
+        _rel_pre_into(pre_scr, t_scr, rel, pl)
+        pre = pre_scr[...]
         pre_c = jnp.maximum(pre, 1e-6)
         rel_bias = jnp.log(pre_c)
 
@@ -326,41 +364,71 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
         # bias = log(max(pre, 1e-6)); d bias/d pre = [pre > 1e-6] / pre_c
         dpre = ds * jnp.where(pre > 1e-6, 1.0 / pre_c, 0.0)   # [Lq, Lk]
         ds_dt = in_dt
-        # dWr[:, h] = sum_{ll'} t * dpre ; dbr[h] = sum dpre   (per-b partial)
-        dwr_col = jax.lax.dot_general(
-            t.astype(ds_dt), dpre.astype(ds_dt),
-            (((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32)               # [R]
-        dwrw_ref[0, 0, 0] = dwr_col.astype(dwrw_ref.dtype)
-        dwrb_ref[0, 0, 0, 0] = jnp.sum(dpre)
-        # du = (dpre x Wr_col) * [t > 0]   [Lq, Lk, R]
-        wr_col = rel["wrw"][0, 0]                              # [R]
-        du = (dpre[:, :, None] * wr_col[None, None, :].astype(jnp.float32))
-        du = jnp.where(t > 0, du, 0.0)
-        raw = rel["raw"][0]
+        dwrb_ref[0, 0] = jnp.sum(dpre, axis=(0, 1), keepdims=True)
+        # pre is consumed; reuse its scratch to hold dpre so the chunk loop
+        # can ref-slice it (Mosaic dynamic slices want refs, not values)
+        pre_scr[...] = dpre
+        wr_col = rel["wrw_row"][0, 0]                          # [R]
+        w1t = rel["w1t"][:]
         h = pl.program_id(1)
-        # accumulate across head programs in resident output blocks
-        dw1_h = jax.lax.dot_general(
-            raw.astype(ds_dt), du.astype(ds_dt),
-            (((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32)               # [Rr, R]
-        db1_h = jnp.sum(du, axis=(0, 1))                      # [R]
-        draw_h = jax.lax.dot_general(
-            du.astype(ds_dt), rel["w1"][:].astype(ds_dt),
-            (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [Lq, Lk, Rr]
+        Lq_, Lk_, Rr = rel["raw"].shape[1:]
+        R = wr_col.shape[0]
+        # row-chunked via fori_loop so the big [c, Lk, R] transients reuse
+        # ONE stack slot (a python-unrolled loop keeps every iteration's
+        # transients live and OOMs VMEM). Mosaic rejects rank-1-output
+        # contractions, so dWr/db1 use elementwise + leading-axis sums and
+        # dW1 a leading-collapse reshape — all probed on v5e.
+        csize = next((c for c in range(32, 7, -1) if Lq_ % c == 0), Lq_) \
+            if Lq_ > 64 else Lq_
+
+        def chunk(i, carry):
+            dwr_acc, db1_acc, dw1_acc = carry
+            s = i * csize
+            # fp32 copies: v5e has no bf16 compare; the sums want fp32
+            t_c = t_scr[pl.ds(s, csize)].astype(jnp.float32)   # [c, Lk, R]
+            dpre_c = pre_scr[pl.ds(s, csize)][:, :, None]
+            dwr_acc += jnp.sum(t_c * dpre_c, axis=(0, 1))[None, :]
+            du_c = jnp.where(t_c > 0,
+                             dpre_c * wr_col[None, None, :].astype(jnp.float32),
+                             0.0)                              # [c, Lk, R]
+            db1_acc += jnp.sum(du_c, axis=(0, 1))[None, :]
+            raw_c = rel["raw"][0, pl.ds(s, csize)]
+            dw1_acc += jax.lax.dot_general(
+                raw_c.reshape(csize * Lk_, Rr).astype(ds_dt),
+                du_c.reshape(csize * Lk_, R).astype(ds_dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [Rr, R]
+            draw_c = jax.lax.dot_general(
+                du_c.astype(ds_dt), w1t.astype(ds_dt),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [c, Lk, Rr]
+
+            @pl.when(h == 0)
+            def _():
+                draw_ref[0, pl.ds(s, csize)] = draw_c.astype(draw_ref.dtype)
+
+            @pl.when(h > 0)
+            def _():
+                draw_ref[0, pl.ds(s, csize)] += draw_c.astype(draw_ref.dtype)
+
+            return dwr_acc, db1_acc, dw1_acc
+
+        dwr_acc, db1_acc, dw1_acc = jax.lax.fori_loop(
+            0, Lq_ // csize, chunk,
+            (jnp.zeros((1, R), jnp.float32), jnp.zeros((1, R), jnp.float32),
+             jnp.zeros((Rr, R), jnp.float32)))
+
+        dwrw_ref[0, 0, 0] = dwr_acc[0]
 
         @pl.when(h == 0)
         def _():
-            dw1_ref[0] = dw1_h.astype(dw1_ref.dtype)
-            db1_ref[0, 0] = db1_h.astype(db1_ref.dtype)
-            draw_ref[0] = draw_h.astype(draw_ref.dtype)
+            dw1_ref[0] = dw1_acc.astype(dw1_ref.dtype)
+            db1_ref[0, 0] = db1_acc[0].astype(db1_ref.dtype)
 
         @pl.when(h > 0)
         def _():
-            dw1_ref[0] += dw1_h.astype(dw1_ref.dtype)
-            db1_ref[0, 0] += db1_h.astype(db1_ref.dtype)
-            draw_ref[0] += draw_h.astype(draw_ref.dtype)
+            dw1_ref[0] += dw1_acc.astype(dw1_ref.dtype)
+            db1_ref[0, 0] += db1_acc[0].astype(db1_ref.dtype)
 
 
 def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
@@ -372,7 +440,7 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
     has_rel = rel is not None
 
     in_specs, args = _in_specs_args(pl, pltpu, q, k, v, bias, mask_add,
-                                    None, rel)
+                                    None, rel, bwd=True)
     qspec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0))
     kspec = pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0))
     sspec = pl.BlockSpec((1, 1, Lq, Lk), lambda b, h: (b, h, 0, 0))
@@ -409,7 +477,8 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
             jax.ShapeDtypeStruct((B, H, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, Lq, Lk, Rr), jnp.float32),
         ]
-        scratch_shapes.append(pltpu.VMEM((Lq, Lk, R), q.dtype))
+        scratch_shapes += [pltpu.VMEM((Lq, Lk, R), q.dtype),
+                           pltpu.VMEM((Lq, Lk), jnp.float32)]
 
     kernel = functools.partial(_bwd_kernel, scale, dropout_r,
                                has_bias, mask_add is not None, has_rel)
@@ -422,7 +491,8 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
-                "parallel", "arbitrary" if has_rel else "parallel")),
+                "parallel", "arbitrary" if has_rel else "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024 if has_rel else None),
         interpret=INTERPRET,
     )(*args)
 
