@@ -22,8 +22,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def iter_words(task: str, data_root: str, dataset: str):
@@ -51,21 +54,43 @@ def iter_words(task: str, data_root: str, dataset: str):
                         yield from tokenize_question(line.strip())
 
 
+class _StubTool:
+    """Deterministic per-word pseudo-vectors (hash-seeded, 300-d): stands in
+    for spaCy when no network/model is available (rehearsals, CI). Real
+    accuracy runs must use the spaCy table — the stub only exercises the
+    cache-producing and cache-consuming code paths with stable vectors."""
+
+    class _Vec:
+        def __init__(self, w):
+            import zlib
+            g = np.random.RandomState(zlib.crc32(w.encode()) & 0x7FFFFFFF)
+            self.vector = (g.randn(300) * 0.1).astype(np.float32)
+
+    def __call__(self, w):
+        return self._Vec(w)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True, choices=["vqa", "vgd", "itm"])
     p.add_argument("--data_root", default="./data")
     p.add_argument("--dataset", default="refcoco")
+    p.add_argument("--stub", action="store_true",
+                   help="deterministic pseudo-vectors instead of spaCy")
     args = p.parse_args()
 
-    try:
-        import en_vectors_web_lg
-        tool = en_vectors_web_lg.load()
-    except ImportError:
-        raise SystemExit(
-            "spaCy en_vectors_web_lg is required for this OFFLINE step "
-            "(pip install spacy && download en_vectors_web_lg); training "
-            "hosts only need the produced cache files.")
+    if args.stub:
+        tool = _StubTool()
+    else:
+        try:
+            import en_vectors_web_lg
+            tool = en_vectors_web_lg.load()
+        except ImportError:
+            raise SystemExit(
+                "spaCy en_vectors_web_lg is required for this OFFLINE step "
+                "(pip install spacy && download en_vectors_web_lg); training "
+                "hosts only need the produced cache files. For a no-network "
+                "rehearsal use --stub.")
 
     vocab = {"PAD": 0, "UNK": 1, "CLS": 2}
     vecs = [tool("PAD").vector, tool("UNK").vector, tool("CLS").vector]

@@ -1,0 +1,138 @@
+"""Accuracy rehearsal: train-to-overfit on real-format fabricated corpora.
+
+Runs the REAL data pipeline end to end for each task — on-disk reference
+layouts, vocab + GloVe cache, real loaders, the standard engines, per-epoch
+checkpoints — and reports the OFFICIAL metrics (VQAEval overall / IoU@0.5
+accuracy / R@K retrieval) on the held-out split of the planted-signal
+corpora from tools/make_rehearsal_data.py. This is the closest achievable
+proxy to the published baselines (BASELINE.md) until the actual datasets
+are on disk: it proves the pipeline computes believable metric numbers,
+not that the model reaches the paper's accuracy.
+
+Usage:
+    python tools/make_rehearsal_data.py --out ./data_rehearsal
+    python tools/make_glove_cache.py --task vqa --data_root ./data_rehearsal --stub   (x3 tasks)
+    python tools/rehearsal.py --data_root ./data_rehearsal [--task vqa] [--epochs N]
+
+Writes logs/rehearsal_<task>.json with the metric trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _small(cfg, hsize):
+    if not hsize:
+        return cfg
+    # smoke-test scaling (CPU wiring checks); real rehearsals keep HSIZE=512
+    return cfg.replace(HSIZE=hsize, ATTFLAT_OUT_SIZE=hsize * 2,
+                       ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
+
+
+def run_vqa(data_root: str, epochs: int, hsize: int = 0):
+    from mmnas_tpu.config import Cfg
+    from mmnas_tpu.engine.vqa import Execution
+
+    cfg = Cfg(TASK="vqa", DATA_ROOT=data_root, RUN_MODE="train",
+              BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+              MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_vqa",
+              DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
+    cfg = _small(cfg, hsize)
+    ex = Execution(cfg)
+    train_set = ex.build_dataset("train")
+    train_loader = ex.make_loader(train_set, shuffle=True)
+    params, net, history = ex.train(train_loader)
+    eval_set = ex.build_dataset("val")
+    eval_loader = ex.make_loader(eval_set, shuffle=False,
+                                 batch_size=cfg.EVAL_BATCH_SIZE)
+    acc = ex.eval(eval_loader, net=net, params=params, valid=True)
+    return {"metric": "vqa_val_accuracy(VQAEval overall)",
+            "value": None if acc is None else round(100.0 * acc, 2),
+            "train_loss_per_example": [round(h, 4) for h in history]}
+
+
+def run_vgd(data_root: str, epochs: int, hsize: int = 0):
+    from mmnas_tpu.config import Cfg
+    from mmnas_tpu.engine.vgd import Execution
+
+    cfg = Cfg(TASK="vgd", DATA_ROOT=data_root, RUN_MODE="train",
+              DATASET="refcoco", FEAT="vg_woref", MAX_TOKEN=14,
+              BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+              NET_LR_BASE=0.00014, MAX_EPOCH=epochs, SEED=44,
+              VERSION="rehearsal_vgd", DTYPE="bfloat16",
+              EVAL_EVERY_EPOCH=False)
+    cfg = _small(cfg, hsize)
+    ex = Execution(cfg)
+    train_set = ex.build_dataset("train")
+    train_loader = ex.make_loader(train_set, shuffle=True)
+    params, net, history = ex.train(train_loader)
+    out = {"train_loss_per_example": [round(h, 4) for h in history]}
+    for split in ("val", "test"):  # test -> TEST_SPLIT (default testA)
+        eval_set = ex.build_dataset(split)
+        eval_loader = ex.make_loader(eval_set, shuffle=False,
+                                     batch_size=cfg.EVAL_BATCH_SIZE)
+        acc = ex.eval(eval_loader, net=net, params=params)
+        out[f"acc_iou0.5_{split}"] = None if acc is None else round(acc, 2)
+    out["metric"] = "vgd_accuracy@IoU0.5"
+    return out
+
+
+def run_itm(data_root: str, epochs: int, hsize: int = 0):
+    from mmnas_tpu.config import Cfg
+    from mmnas_tpu.engine.itm import Execution
+
+    cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
+              DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
+              SCORES_LOSS="bce", NET_LR_BASE=0.00015,
+              BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+              MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_itm",
+              DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
+    cfg = _small(cfg, hsize)
+    ex = Execution(cfg)
+    train_set = ex.build_dataset("train")
+    train_loader = ex.make_loader(train_set, shuffle=True)
+    params, net, history = ex.train(train_loader)
+    eval_set = ex.build_dataset("test")
+    eval_loader = ex.make_loader(eval_set, shuffle=False)
+    stats = ex.eval(eval_loader, net=net, params=params)
+    out = {"metric": "itm_R@K(test)",
+           "train_loss_per_example": [round(h, 4) for h in history]}
+    if stats:
+        out.update({k: round(v, 2) for k, v in stats.items()})
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", default="./data_rehearsal")
+    p.add_argument("--task", default="all",
+                   choices=["all", "vqa", "vgd", "itm"])
+    p.add_argument("--epochs", type=int, default=13)
+    p.add_argument("--hsize", type=int, default=0,
+                   help="shrink the net for wiring smoke tests (0 = full)")
+    args = p.parse_args()
+
+    runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm}
+    tasks = list(runners) if args.task == "all" else [args.task]
+    os.makedirs("logs", exist_ok=True)
+    for task in tasks:
+        t0 = time.time()
+        result = runners[task](args.data_root, args.epochs, args.hsize)
+        result["epochs"] = args.epochs
+        result["wallclock_s"] = round(time.time() - t0, 1)
+        out = os.path.join("logs", f"rehearsal_{task}.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[rehearsal] {task}: {json.dumps(result)[:400]}")
+        print(f"[rehearsal] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
