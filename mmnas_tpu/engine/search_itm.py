@@ -74,25 +74,56 @@ class SearchExecution(SearchBase):
 
     # ---- supernet pair scorer (mining + eval) ------------------------------
     def make_pair_scorer(self, net: NetSearch):
-        """Pair-index arrays sharded over 'data', corpus/params/alpha
-        replicated (TPU analog of train_itm.py:470-500 rank row-sharding)."""
+        """Split-trunk scorer: per-caption text encodings are computed once
+        (encode_corpus_text) and each pair pays only the image stem + dec
+        path + heads (NetSearch.encode_text/apply_decoder — same fast path
+        as the fixed-net engine, engine/itm.py). Pair-index arrays are
+        sharded over 'data', corpus/params/alpha/text replicated (TPU
+        analog of train_itm.py:470-500 rank row-sharding)."""
         repl = pmesh.replicated_sharding(self.mesh)
         data = pmesh.batch_sharding(self.mesh)
 
-        def score(params, alpha, corpus, idx, img_idx, cap_idx):
+        def score(params, alpha, corpus, idx, text_enc, img_idx, cap_idx):
             batch = {
                 "frcn_feat": corpus["frcn_feat"][img_idx],
                 "bbox_feat": corpus["bbox_feat"][img_idx],
                 "rel_img": corpus["rel_img"][img_idx],
-                "ques_ix": corpus["caps"][cap_idx],
-                "rel_ques": jnp.zeros(
-                    (img_idx.shape[0], corpus["caps"].shape[1],
-                     corpus["caps"].shape[1], 3), jnp.float32),
             }
-            return net.apply(params, alpha, batch, idx, mode="sampled",
-                             train=False)
-        return jax.jit(score, in_shardings=(repl, repl, repl, repl, data, data),
+            x_out = text_enc["x"][cap_idx]
+            x_mask = text_enc["mask"][cap_idx]
+            return net.apply_decoder(params, alpha, x_out, x_mask, batch,
+                                     idx, train=False)
+        return jax.jit(score,
+                       in_shardings=(repl, repl, repl, repl, repl, data, data),
                        out_shardings=repl)
+
+    def encode_corpus_text(self, net: NetSearch, params, alpha, idx, corpus,
+                           chunk: int = 256):
+        """Jitted chunked sampled-path text sweep over all captions."""
+        caps = corpus["caps"]
+        n, T = caps.shape
+        repl = pmesh.replicated_sharding(self.mesh)
+
+        def build(net):
+            def enc(params, alpha, idx, cap_chunk):
+                rel = jnp.zeros((cap_chunk.shape[0], T, T, 3), jnp.float32)
+                return net.encode_text(params, alpha, cap_chunk, rel, idx,
+                                       train=False)
+            return jax.jit(enc, out_shardings=repl)
+
+        enc = self.cached_step("text_enc", net, build)
+        xs, ms = [], []
+        for start in range(0, n, chunk):
+            part = caps[start:start + chunk]
+            pad = chunk - part.shape[0]
+            if pad:
+                part = jnp.pad(part, ((0, pad), (0, 0)))
+            x, m = enc(params, alpha, idx, part)
+            if pad:
+                x, m = x[:-pad], m[:-pad]
+            xs.append(x)
+            ms.append(m)
+        return {"x": jnp.concatenate(xs), "mask": jnp.concatenate(ms)}
 
     def device_corpus(self, dataset):
         caps, _ = dataset.get_all_caps()
@@ -113,6 +144,7 @@ class SearchExecution(SearchBase):
                                   self.device_corpus(dataset))
         scorer, corpus = self._mining_state
         idx = net.sample_indices(jax.random.PRNGKey(cfg.SEED * 7 + epoch), alpha)
+        text_enc = self.encode_corpus_text(net, params, alpha, idx, corpus)
 
         t0 = time.time()
         n_caps = len(dataset)
@@ -146,7 +178,8 @@ class SearchExecution(SearchBase):
                 ii, cc = (rep, flat) if per_img else (flat, rep)
                 s = sharded_pair_call(
                     self.mesh, self.n_shards,
-                    lambda a, b: scorer(params, alpha, corpus, idx, a, b),
+                    lambda a, b: scorer(params, alpha, corpus, idx,
+                                        text_enc, a, b),
                     ii, cc)
                 s = s[:g * R].reshape(g, R)
                 order = np.argsort(-s, axis=-1)[:, :H]
@@ -168,6 +201,7 @@ class SearchExecution(SearchBase):
             self._eval_scorer = self.make_pair_scorer(net)
         corpus, scorer = self._eval_corpus, self._eval_scorer
         idx = net.chosen_indices(alpha)
+        text_enc = self.encode_corpus_text(net, params, alpha, idx, corpus)
 
         n_caps = len(dataset)
         n_imgs = n_caps // dataset.CAPS_PER_IMG
@@ -182,7 +216,8 @@ class SearchExecution(SearchBase):
                 ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
             s = sharded_pair_call(
                 self.mesh, self.n_shards,
-                lambda a, b: scorer(params, alpha, corpus, idx, a, b), ii, cc)
+                lambda a, b: scorer(params, alpha, corpus, idx, text_enc,
+                                    a, b), ii, cc)
             if pad:
                 s = s[:-pad]
             score_mat.reshape(-1)[start:start + len(s)] = s

@@ -277,6 +277,52 @@ class NetSearch:
                           x, y, x_mask, y_mask, train, rngs)
         return cast_output(self.cfg, out)
 
+    # -- split application (ITM pair-scoring fast path) ---------------------
+    #
+    # Supernet analog of NetFull.encode_text/apply_decoder: the sampled enc
+    # path never sees the image, so cross-modal sweeps (search-time mining
+    # and R@K eval over n_imgs x n_caps pairs) encode each caption ONCE and
+    # pay only the image stem + dec cells + heads per pair.
+
+    def encode_text(self, params, alpha, ques_ix, rel_ques, idx,
+                    train: bool = False, rng=None):
+        """-> (x_out [B, T, H], x_mask) after the sampled enc path."""
+        from mmnas_tpu.models.net import cast_for_compute, rel_pack
+        rngs = P.RngGen(rng)
+        params, batch = cast_for_compute(
+            self.cfg, params, {"ques_ix": ques_ix, "rel_ques": rel_ques})
+        ques_ix, rel_ques = batch["ques_ix"], batch["rel_ques"]
+        x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
+        x = P.lstm(params["lstm"], params["embedding"][ques_ix])
+        x_rel = rel_pack(params["linear_x_rel"], rel_ques)
+        x = self._run_nodes_sampled(self.enc_nodes, params["enc"],
+                                    idx["enc"], x, None, x_mask, None,
+                                    x_rel, train, rngs)
+        return x, x_mask
+
+    def apply_decoder(self, params, alpha, x_out, x_mask, batch, idx,
+                      train: bool = False, rng=None):
+        """Image stem + sampled dec path + heads against a precomputed
+        text encoding; output identical to apply(mode='sampled')."""
+        from mmnas_tpu.models.net import (cast_for_compute, cast_output,
+                                          rel_pack)
+        cfg = self.cfg
+        rngs = P.RngGen(rng)
+        params, batch = cast_for_compute(cfg, params, batch)
+        frcn_feat = batch["frcn_feat"]
+        y_mask = P.make_mask(frcn_feat)
+        if cfg.BBOX_FEATURE:
+            bb = P.linear(params["bboxfeat_linear"], batch["bbox_feat"])
+            frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
+        y = P.linear(params["imgfeat_linear"], frcn_feat)
+        y_rel = rel_pack(params["linear_y_rel"], batch["rel_img"])
+        y = self._run_nodes_sampled(self.dec_nodes, params["dec"],
+                                    idx["dec"], y, x_out, y_mask, x_mask,
+                                    y_rel, train, rngs)
+        out = apply_heads(params, cfg, self.ocfg, self.task,
+                          x_out, y, x_mask, y_mask, train, rngs)
+        return cast_output(cfg, out)
+
     # -- optimizer mask -----------------------------------------------------
 
     def update_mask(self, params, idx) -> Dict:

@@ -475,7 +475,9 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
             jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lq, Lk, Rr), jnp.float32),
+            # draw in the cotangent dtype: [B,L,L,4] fp32 buffers per RSA
+            # op were a large share of the HBM headroom in bf16 training
+            jax.ShapeDtypeStruct((B, Lq, Lk, Rr), raw.dtype),
         ]
         scratch_shapes += [pltpu.VMEM((Lq, Lk, R), q.dtype),
                            pltpu.VMEM((Lq, Lk), jnp.float32)]
@@ -504,7 +506,7 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
         dw1_p, db1_p, dwrw_p, dwrb_p, draw = out[3 + int(has_bias):]
         raw, w1, b1, wrw, wrb = rel
         drel = (
-            draw.astype(raw.dtype),
+            draw,
             jnp.sum(dw1_p, axis=0).astype(w1.dtype),
             jnp.sum(db1_p, axis=0)[0].astype(b1.dtype),
             jnp.sum(dwrw_p, axis=0)[:, 0, :].T.astype(wrw.dtype),

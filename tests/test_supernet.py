@@ -324,3 +324,26 @@ def test_alpha_moves_toward_better_op():
         alpha, aopt, _ = aoptim.step(aopt, alpha, g)
     moved = max(float(jnp.abs(alpha[ct] - a0[ct]).max()) for ct in ("enc", "dec"))
     assert moved > 1e-3
+
+
+def test_supernet_split_trunk_equals_full_apply():
+    """NetSearch.encode_text + apply_decoder must reproduce
+    apply(mode='sampled') exactly (ITM search pair-scoring fast path)."""
+    from mmnas_tpu.data.synth import SynthItmDataset
+
+    cfg = tiny_cfg(TASK="itm", MAX_TOKEN=8, FRCNFEAT_LEN=8)
+    ds = SynthItmDataset(cfg, size=10, token_size=30, seed=4)
+    net = NetSearch(cfg, {"token_size": 30, "ans_size": 1,
+                          "pretrained_emb": ds.pretrained_emb}, task="itm")
+    params = net.init(jax.random.PRNGKey(0))
+    alpha = net.init_alpha()
+    batch = {k: jnp.asarray(v) for k, v in
+             _stack([ds[i] for i in range(4)]).items()}
+    idx = net.sample_indices(jax.random.PRNGKey(31), alpha)
+
+    full = net.apply(params, alpha, batch, idx, mode="sampled", train=False)
+    x_out, x_mask = net.encode_text(params, alpha, batch["ques_ix"],
+                                    batch["rel_ques"], idx)
+    split = net.apply_decoder(params, alpha, x_out, x_mask, batch, idx)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
