@@ -98,3 +98,15 @@ def test_indivisible_global_batch_raises(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(ValueError, match="not divisible"):
         ex.make_loader(ds, shuffle=False)
+
+
+def test_eval_loader_honors_eval_batch_size():
+    """Eval paths size their loaders from EVAL_BATCH_SIZE, matching the
+    reference's separate eval batch (train_vqa.py:374-376)."""
+    cfg = tiny_cfg(BATCH_SIZE=4, EVAL_BATCH_SIZE=6, N_DEVICES=1)
+    ex = Execution(cfg)
+    ds = ex.build_dataset("train")
+    tl = ex.make_loader(ds, shuffle=True)
+    el = ex.make_loader(ds, shuffle=False, batch_size=cfg.EVAL_BATCH_SIZE)
+    assert tl.batch_size == 4
+    assert el.batch_size == 6
