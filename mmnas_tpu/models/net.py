@@ -129,30 +129,21 @@ def apply_stem(params, cfg, batch, train, rngs):
         frcn_feat = jnp.concatenate((frcn_feat, bb), axis=-1)
     y = P.linear(params["imgfeat_linear"], frcn_feat)
 
-    # under cfg.REMAT the relation projections are rematerialized: the
-    # [B, L, L, REL_SIZE] activation is the single largest tensor in the
-    # program (312MB at B=256, L=100); recomputing the 4->64 matmul in the
-    # backward costs ~5% step time and lifts the large-batch OOM
-    _rel_proj = (jax.checkpoint(lambda p, r: jax.nn.relu(P.linear(p, r)))
-                 if getattr(cfg, "REMAT", False)
-                 else (lambda p, r: jax.nn.relu(P.linear(p, r))))
-    # rel is threaded to the ops as a dict carrying BOTH the raw tensor +
-    # stem weights (for the fused Pallas bias chain) and the projected
-    # tensor (jnp path); whichever side goes unused is XLA dead code
-    y_rel = rel_pack(params["linear_y_rel"], batch["rel_img"], _rel_proj)
+    # rel is threaded to the ops as the RAW tensor + stem weights; each
+    # RSA op computes the bias chain internally (fused kernel or a
+    # checkpointed jnp chain) — the [B, L, L, REL_SIZE] projection never
+    # crosses an op/switch boundary (ops/modules._rel_mhatt_apply)
+    y_rel = rel_pack(params["linear_y_rel"], batch["rel_img"])
     if "linear_x_rel" in params:
-        x_rel = rel_pack(params["linear_x_rel"], batch["rel_ques"], _rel_proj)
+        x_rel = rel_pack(params["linear_x_rel"], batch["rel_ques"])
     else:  # fixed-arch nets pass the raw text relation (full_vqa.py:104)
         x_rel = batch.get("rel_ques", None)
     return x, y, x_mask, y_mask, x_rel, y_rel
 
 
-def rel_pack(lin_p, raw, proj_fn=None):
+def rel_pack(lin_p, raw):
     """Relation bundle for RSA ops (see ops/modules._rel_mhatt_apply)."""
-    if proj_fn is None:
-        proj_fn = lambda p, r: jax.nn.relu(P.linear(p, r))
-    return {"raw": raw, "w1": lin_p["w"], "b1": lin_p["b"],
-            "proj": proj_fn(lin_p, raw)}
+    return {"raw": raw, "w1": lin_p["w"], "b1": lin_p["b"]}
 
 
 def init_heads(ks, cfg, ocfg: OpCfg, task: str, ans_size: int) -> Dict:

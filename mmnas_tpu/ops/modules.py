@@ -143,25 +143,42 @@ def _rsa_bias(p_wr, rel):
     return rsa_log_bias(p_wr, rel)
 
 
+def _rsa_bias_from_raw(w1w, w1b, p_wr, raw):
+    """Whole bias chain from the RAW geometry tensor: stem projection
+    (full_vqa.py:103) + per-head Wr + log/clamp (modules.py:231-235)."""
+    from mmnas_tpu.ops.attention import rsa_log_bias
+    proj = jax.nn.relu(raw @ w1w + w1b)
+    return rsa_log_bias(p_wr, proj)
+
+
 def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                      train, rngs):
     """rel is either the projected tensor [B, L, L, REL_SIZE] (legacy/test
-    path) or a dict {'raw': [B,L,L,Rr], 'w1', 'b1', 'proj'} from the stem —
-    with the fused kernel active, the whole bias chain (stem projection +
-    Wr + log/clamp) runs inside the attention kernel and the projected
-    tensor / [B,H,L,L] bias never reach HBM (the stem's 'proj' is then
-    dead code XLA eliminates)."""
+    path) or a dict {'raw': [B,L,L,Rr], 'w1', 'b1'} from the stem.
+
+    Dict path: the bias is computed INSIDE the op from the raw tensor —
+    either fully fused in the Pallas kernel, or as a jax.checkpoint'ed jnp
+    chain. Keeping the PROJECTED [B,L,L,REL_SIZE] tensor out of the op
+    boundary matters beyond memory: in the NAS supernet every lax.switch
+    node captures the rel operand, and a projected tensor crossing 18
+    switch boundaries costs a [B,L,L,64] copy forward and a (mostly zero)
+    [B,L,L,64] cotangent per node backward — measured at ~40% of the
+    weight-step time. The raw tensor is 16x smaller AND needs no
+    cotangent at all (it is input data), so those conditionals shrink to
+    the stem-weight gradients. The checkpoint makes the recomputed
+    projection the backward's only extra cost (~0.4ms/node vs ~2ms/node
+    of switch traffic)."""
     assert rel is not None
     if isinstance(rel, dict):
         from mmnas_tpu.ops.attention import rsa_fusion_active
-        if rel.get("raw") is not None and rsa_fusion_active(cfg.dropout_r,
-                                                            train):
+        if rsa_fusion_active(cfg.dropout_r, train):
             rel_fused = (rel["raw"], rel["w1"], rel["b1"],
                          p["wr"]["w"], p["wr"].get("b"))
             return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
                                 rngs, rel_fused=rel_fused)
-        rel = rel["proj"]
-    if cfg.remat:
+        log_bias = jax.checkpoint(_rsa_bias_from_raw)(
+            rel["w1"], rel["b1"], p["wr"], rel["raw"])
+    elif cfg.remat:
         log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
     else:
         log_bias = _rsa_bias(p["wr"], rel)
