@@ -170,14 +170,18 @@ def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
     of switch traffic)."""
     assert rel is not None
     if isinstance(rel, dict):
+        # the geometry tensor is input data: stop_gradient lets jax prune
+        # its cotangent path entirely (otherwise every supernet lax.switch
+        # node materializes a zero [B,L,L,Rr] cotangent for it)
+        raw = jax.lax.stop_gradient(rel["raw"])
         from mmnas_tpu.ops.attention import rsa_fusion_active
         if rsa_fusion_active(cfg.dropout_r, train):
-            rel_fused = (rel["raw"], rel["w1"], rel["b1"],
+            rel_fused = (raw, rel["w1"], rel["b1"],
                          p["wr"]["w"], p["wr"].get("b"))
             return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
                                 rngs, rel_fused=rel_fused)
         log_bias = jax.checkpoint(_rsa_bias_from_raw)(
-            rel["w1"], rel["b1"], p["wr"], rel["raw"])
+            rel["w1"], rel["b1"], p["wr"], raw)
     elif cfg.remat:
         log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
     else:

@@ -79,14 +79,15 @@ def _get_pl():
     return pl, pltpu
 
 
-def _unpack(has_bias, has_mask, has_seed, has_rel, it, bwd=False):
+def _unpack(has_bias, has_mask, has_seed, n_rel_planes, it, bwd=False):
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     b_ref = next(it) if has_bias else None
     m_ref = next(it) if has_mask else None
     seed_ref = next(it) if has_seed else None
     rel = None
-    if has_rel:
-        rel = {"raw": next(it), "w1": next(it), "b1": next(it),
+    if n_rel_planes:
+        rel = {"planes": [next(it) for _ in range(n_rel_planes)],
+               "w1": next(it), "b1": next(it),
                "wrw": next(it), "wrb": next(it)}
         if bwd:  # extra layouts the backward needs (see _rel_specs)
             rel["wrw_row"] = next(it)
@@ -104,15 +105,23 @@ def _rel_chunks(Lq):
 
 
 def _rel_t_into(t_scr, rel):
-    """t = relu(raw @ W1 + b1) -> t_scr [Lq, Lk, R], in row chunks."""
-    raw = rel["raw"]                                 # ref [1, Lq, Lk, Rr]
-    w1 = rel["w1"][:]
-    b1 = rel["b1"][0].astype(jnp.float32)
-    for s, c in _rel_chunks(raw.shape[1]):
-        tt = jax.lax.dot_general(raw[0, s:s + c], w1,
-                                 (((2,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        t_scr[s:s + c] = jax.nn.relu(tt + b1).astype(t_scr.dtype)
+    """t = relu(raw @ W1 + b1) -> t_scr [Lq, Lk, R], in row chunks.
+
+    raw arrives as Rr SEPARATE [1, Lq, Lk] planes: with Rr minor, XLA's
+    forced row-major tiling would pad the [B,L,L,Rr] buffer 32x (lane dim
+    4 -> 128), and Mosaic miscompiles mixed scalar+slice reads on a
+    transposed 4D block (verified on v5e). The Rr contraction is unrolled
+    (Rr=3/4) as broadcast multiply-adds — once per batch row, VPU-cheap."""
+    planes = rel["planes"]                           # Rr x ref [1, Lq, Lk]
+    w1 = rel["w1"][:]                                # [Rr, R]
+    b1 = rel["b1"][0].astype(jnp.float32)            # [R]
+    Lk = planes[0].shape[2]
+    for s, c in _rel_chunks(planes[0].shape[1]):
+        acc = b1[None, None, :] * jnp.ones((c, Lk, 1), jnp.float32)
+        for rr, pref in enumerate(planes):
+            plane = pref[0, s:s + c].astype(jnp.float32)     # [c, Lk]
+            acc = acc + plane[:, :, None] * w1[rr].astype(jnp.float32)
+        t_scr[s:s + c] = jax.nn.relu(acc).astype(t_scr.dtype)
 
 
 def _rel_pre_into(pre_scr, t_scr, rel, pl):
@@ -152,12 +161,13 @@ def _softmax(s):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
+def _fwd_kernel(scale, dropout_r, has_bias, has_mask, n_rel, *refs):
     pl, pltpu = _get_pl()
     has_drop = dropout_r > 0.0
+    has_rel = n_rel > 0
     it = iter(refs)
     q_ref, k_ref, v_ref, b_ref, m_ref, seed_ref, rel = _unpack(
-        has_bias, has_mask, has_drop, has_rel, it)
+        has_bias, has_mask, has_drop, n_rel, it)
     o_ref = next(it)
     dm_ref = next(it) if has_drop else None
     t_scr = next(it) if has_rel else None
@@ -198,29 +208,33 @@ def _rel_specs(pl, pltpu, rel, bwd=False):
     """BlockSpecs for the rel-chain operands. Layouts are dictated by the
     Mosaic block rule (last two block dims (8,128)-aligned or equal to the
     array's) and by which value shapes lower (probed on v5e):
-      raw  [B,Lq,Lk,Rr]  per batch row, resident across the head programs
+      planes  Rr separate [B,Lq,Lk] arrays (dense layout; a [B,L,L,Rr]
+           tensor pads 32x under row-major tiling and a transposed 4D
+           block miscompiles under mixed indexing); each per batch row,
+           resident across the head programs
       w1   [Rr,R] whole; b1 as [1,R]
       wrw  [H,R,1]  one [R,1] column per head (matvec-able, see _rel_pre)
       wrb  [1,H]    whole in SMEM, indexed by program_id
     backward adds:
       wrw_row [H,1,R]  the same column as a [R] row (for the du broadcast)
-      w1t  [R,Rr]  transposed W1 (draw contraction wants rhs dim 0)."""
-    raw, w1, b1, wrw, wrb = rel
-    Lq, Lk, Rr = raw.shape[1:]
+      w1t  [R,Rr]  transposed W1."""
+    planes, w1, b1, wrw, wrb = rel
+    Lq, Lk = planes[0].shape[1:]
     R, H = wrw.shape
-    specs = [
-        pl.BlockSpec((1, Lq, Lk, Rr), lambda b, h: (b, 0, 0, 0)),
-        pl.BlockSpec((Rr, R), lambda b, h: (0, 0)),
+    specs = [pl.BlockSpec((1, Lq, Lk), lambda b, h: (b, 0, 0))
+             for _ in planes]
+    specs += [
+        pl.BlockSpec((len(planes), R), lambda b, h: (0, 0)),
         pl.BlockSpec((1, R), lambda b, h: (0, 0)),
         pl.BlockSpec((1, R, 1), lambda b, h: (h, 0, 0)),
         pl.BlockSpec((1, H), lambda b, h: (0, 0), memory_space=pltpu.SMEM),
     ]
-    args = [raw, w1, b1.reshape(1, -1), wrw.T.reshape(H, R, 1),
-            wrb.reshape(1, -1)]
+    args = list(planes) + [w1, b1.reshape(1, -1), wrw.T.reshape(H, R, 1),
+                           wrb.reshape(1, -1)]
     if bwd:
         specs += [
             pl.BlockSpec((1, 1, R), lambda b, h: (h, 0, 0)),
-            pl.BlockSpec((R, Rr), lambda b, h: (0, 0)),
+            pl.BlockSpec((R, len(planes)), lambda b, h: (0, 0)),
         ]
         args += [wrw.T.reshape(H, 1, R), w1.T]
     return specs, args
@@ -277,7 +291,7 @@ def _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r):
 
     kernel = functools.partial(_fwd_kernel, scale, dropout_r,
                                bias is not None, mask_add is not None,
-                               has_rel)
+                               len(rel[0]) if has_rel else 0)
     out = pl.pallas_call(
         kernel,
         grid=(B, H),
@@ -299,21 +313,25 @@ def _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r):
 # backward kernel (standard attention backward, single block)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
+def _bwd_kernel(scale, dropout_r, has_bias, has_mask, n_rel, need_draw,
+                *refs):
     pl, pltpu = _get_pl()
     has_drop = dropout_r > 0.0
+    has_rel = n_rel > 0
     it = iter(refs)
     q_ref, k_ref, v_ref, b_ref, m_ref, _, rel = _unpack(
-        has_bias, has_mask, False, has_rel, it, bwd=True)
+        has_bias, has_mask, False, n_rel, it, bwd=True)
     dm_ref = next(it) if has_drop else None
     do_ref = next(it)
     dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
     db_ref = next(it) if has_bias else None
     if has_rel:
-        dw1_ref, db1_ref, dwrw_ref, dwrb_ref, draw_ref = (
-            next(it), next(it), next(it), next(it), next(it))
+        dw1_ref, db1_ref, dwrw_ref, dwrb_ref = (
+            next(it), next(it), next(it), next(it))
+        draw_refs = [next(it) for _ in range(n_rel)] if need_draw else None
         t_scr = next(it)
         pre_scr = next(it)
+        du_scr = next(it)
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -371,18 +389,22 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
         wr_col = rel["wrw_row"][0, 0]                          # [R]
         w1t = rel["w1t"][:]
         h = pl.program_id(1)
-        Lq_, Lk_, Rr = rel["raw"].shape[1:]
+        Rr = n_rel
+        Lq_, Lk_ = rel["planes"][0].shape[1:]
         R = wr_col.shape[0]
         # row-chunked via fori_loop so the big [c, Lk, R] transients reuse
         # ONE stack slot (a python-unrolled loop keeps every iteration's
         # transients live and OOMs VMEM). Mosaic rejects rank-1-output
-        # contractions, so dWr/db1 use elementwise + leading-axis sums and
-        # dW1 a leading-collapse reshape — all probed on v5e.
+        # contractions, so dWr/db1/dW1 use elementwise + leading-axis
+        # sums — probed on v5e. du is h-independent through W1
+        # (dW1 = raw^T (sum_h du_h)), so du accumulates in a scratch
+        # across the head programs and the W1/b1/draw reductions run once
+        # per batch row at the last head.
         csize = next((c for c in range(32, 7, -1) if Lq_ % c == 0), Lq_) \
             if Lq_ > 64 else Lq_
+        n_chunks = Lq_ // csize
 
-        def chunk(i, carry):
-            dwr_acc, db1_acc, dw1_acc = carry
+        def chunk(i, dwr_acc):
             s = i * csize
             # fp32 copies: v5e has no bf16 compare; the sums want fp32
             t_c = t_scr[pl.ds(s, csize)].astype(jnp.float32)   # [c, Lk, R]
@@ -391,47 +413,56 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, has_rel, *refs):
             du_c = jnp.where(t_c > 0,
                              dpre_c * wr_col[None, None, :].astype(jnp.float32),
                              0.0)                              # [c, Lk, R]
-            db1_acc += jnp.sum(du_c, axis=(0, 1))[None, :]
-            raw_c = rel["raw"][0, pl.ds(s, csize)]
-            dw1_acc += jax.lax.dot_general(
-                raw_c.reshape(csize * Lk_, Rr).astype(ds_dt),
-                du_c.reshape(csize * Lk_, R).astype(ds_dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [Rr, R]
-            draw_c = jax.lax.dot_general(
-                du_c.astype(ds_dt), w1t.astype(ds_dt),
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [c, Lk, Rr]
 
             @pl.when(h == 0)
             def _():
-                draw_ref[0, pl.ds(s, csize)] = draw_c.astype(draw_ref.dtype)
+                du_scr[pl.ds(s, csize)] = du_c
 
             @pl.when(h > 0)
             def _():
-                draw_ref[0, pl.ds(s, csize)] += draw_c.astype(draw_ref.dtype)
+                du_scr[pl.ds(s, csize)] += du_c
 
-            return dwr_acc, db1_acc, dw1_acc
+            return dwr_acc
 
-        dwr_acc, db1_acc, dw1_acc = jax.lax.fori_loop(
-            0, Lq_ // csize, chunk,
-            (jnp.zeros((1, R), jnp.float32), jnp.zeros((1, R), jnp.float32),
-             jnp.zeros((Rr, R), jnp.float32)))
-
+        dwr_acc = jax.lax.fori_loop(0, n_chunks, chunk,
+                                    jnp.zeros((1, R), jnp.float32))
         dwrw_ref[0, 0, 0] = dwr_acc[0]
 
-        @pl.when(h == 0)
+        @pl.when(h == pl.num_programs(1) - 1)
         def _():
-            dw1_ref[0] = dw1_acc.astype(dw1_ref.dtype)
-            db1_ref[0, 0] = db1_acc[0].astype(db1_ref.dtype)
+            def final(i, carry):
+                s = i * csize
+                du_c = du_scr[pl.ds(s, csize)]                 # [c, Lk, R]
+                db1_acc = carry[0] + jnp.sum(du_c, axis=(0, 1))[None, :]
+                dw1_rows = []
+                for rr in range(Rr):
+                    plane = rel["planes"][rr][0, pl.ds(s, csize)].astype(
+                        jnp.float32)                           # [c, Lk]
+                    dw1_rows.append(
+                        carry[1 + rr]
+                        + jnp.sum(plane[:, :, None] * du_c,
+                                  axis=(0, 1))[None, :])
+                    if need_draw:
+                        # per-plane matvec -> [c, Lk, 1] -> minor squeeze
+                        # (probed lowering)
+                        d3 = jax.lax.dot_general(
+                            du_c.astype(ds_dt),
+                            w1t[:, rr:rr + 1].astype(ds_dt),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        draw_refs[rr][0, pl.ds(s, csize)] = d3[:, :, 0]
+                return (db1_acc, *dw1_rows)
 
-        @pl.when(h > 0)
-        def _():
-            dw1_ref[0] += dw1_acc.astype(dw1_ref.dtype)
-            db1_ref[0, 0] += db1_acc[0].astype(db1_ref.dtype)
+            init = tuple(jnp.zeros((1, R), jnp.float32)
+                         for _ in range(1 + Rr))
+            out = jax.lax.fori_loop(0, n_chunks, final, init)
+            db1_ref[0, 0] = out[0][0].astype(db1_ref.dtype)
+            for rr in range(Rr):
+                dw1_ref[0, rr] = out[1 + rr][0].astype(dw1_ref.dtype)
 
 
-def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
+def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r,
+              need_draw, do):
     pl, pltpu = _get_pl()
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
@@ -460,7 +491,7 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
 
     scratch_shapes = []
     if has_rel:
-        raw, w1, b1, wrw, wrb = rel
+        planes, w1, b1, wrw, wrb = rel
         Rr, R = w1.shape
         # per-batch fp32 partials (summed over B outside: a few KB)
         out_specs += [
@@ -468,22 +499,28 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
             pl.BlockSpec((1, 1, R), lambda b, h: (b, 0, 0)),
             pl.BlockSpec((1, 1, 1, R), lambda b, h: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, Lq, Lk, Rr), lambda b, h: (b, 0, 0, 0)),
         ]
         out_shapes += [
             jax.ShapeDtypeStruct((B, Rr, R), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, 1), jnp.float32),
-            # draw in the cotangent dtype: [B,L,L,4] fp32 buffers per RSA
-            # op were a large share of the HBM headroom in bf16 training
-            jax.ShapeDtypeStruct((B, Lq, Lk, Rr), raw.dtype),
         ]
+        if need_draw:
+            # only for callers that differentiate w.r.t. the raw geometry
+            # tensor (parity tests); one dense [B, Lq, Lk] output per plane
+            for _ in range(Rr):
+                out_specs.append(
+                    pl.BlockSpec((1, Lq, Lk), lambda b, h: (b, 0, 0)))
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((B, Lq, Lk), jnp.float32))
         scratch_shapes += [pltpu.VMEM((Lq, Lk, R), q.dtype),
-                           pltpu.VMEM((Lq, Lk), jnp.float32)]
+                           pltpu.VMEM((Lq, Lk), jnp.float32),
+                           pltpu.VMEM((Lq, Lk, R), jnp.float32)]
 
     kernel = functools.partial(_bwd_kernel, scale, dropout_r,
-                               has_bias, mask_add is not None, has_rel)
+                               has_bias, mask_add is not None,
+                               len(rel[0]) if has_rel else 0, need_draw)
     out = pl.pallas_call(
         kernel,
         grid=(B, H),
@@ -503,8 +540,15 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
     dbias = out[3] if has_bias else None
     drel = None
     if has_rel:
-        dw1_p, db1_p, dwrw_p, dwrb_p, draw = out[3 + int(has_bias):]
-        raw, w1, b1, wrw, wrb = rel
+        rest = out[3 + int(has_bias):]
+        dw1_p, db1_p, dwrw_p, dwrb_p = rest[:4]
+        planes, w1, b1, wrw, wrb = rel
+        if need_draw:
+            draw = tuple(d.astype(p.dtype)
+                         for d, p in zip(rest[4:], planes))
+        else:
+            # pruned: the production path stop_gradient's the raw tensor
+            draw = tuple(jnp.zeros_like(p) for p in planes)
         drel = (
             draw,
             jnp.sum(dw1_p, axis=0).astype(w1.dtype),
@@ -519,26 +563,26 @@ def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r, do):
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _fused(q, k, v, bias, mask_add, seed, raw, w1, b1, wrw, wrb,
-           scale, dropout_r):
+           scale, dropout_r, need_draw):
     rel = None if raw is None else (raw, w1, b1, wrw, wrb)
     out, _ = _fwd_call(q, k, v, bias, mask_add, seed, rel, scale, dropout_r)
     return out
 
 
 def _fused_fwd(q, k, v, bias, mask_add, seed, raw, w1, b1, wrw, wrb,
-               scale, dropout_r):
+               scale, dropout_r, need_draw):
     rel = None if raw is None else (raw, w1, b1, wrw, wrb)
     out, dmask = _fwd_call(q, k, v, bias, mask_add, seed, rel, scale,
                            dropout_r)
     return out, (q, k, v, bias, mask_add, seed, rel, dmask)
 
 
-def _fused_bwd(scale, dropout_r, res, do):
+def _fused_bwd(scale, dropout_r, need_draw, res, do):
     q, k, v, bias, mask_add, seed, rel, dmask = res
     dq, dk, dv, dbias, drel = _bwd_call(q, k, v, bias, mask_add, rel, dmask,
-                                        scale, dropout_r, do)
+                                        scale, dropout_r, need_draw, do)
     dmask_add = None if mask_add is None else jnp.zeros_like(mask_add)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)  # int input
     if drel is None:
@@ -554,13 +598,16 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 def fused_attention(q, k, v, mask=None, log_bias=None, *,
-                    rel=None, dropout_r: float = 0.0, rng=None):
+                    rel=None, dropout_r: float = 0.0, rng=None,
+                    need_draw: bool = True):
     """q,k,v: [B, H, L, D]; mask: [B, 1, 1, Lk] bool (True = pad);
     log_bias: [B, H, Lq, Lk] additive pre-softmax bias; rel (RSA fusion):
     (raw [B, Lq, Lk, Rr], W1 [Rr, R], b1 [R], Wr [R, H], br [H]) — the
     whole reference bias chain (modules.py:231-235 + the stem projection)
     computed in-kernel. dropout_r > 0 requires an rng key
-    (attention-weight dropout, modules.py:197)."""
+    (attention-weight dropout, modules.py:197). need_draw=False skips the
+    raw-tensor cotangent (use with stop_gradient'ed raw — the production
+    path: the geometry tensor is input data)."""
     assert not (log_bias is not None and rel is not None)
     scale = 1.0 / math.sqrt(q.shape[-1])
     mask_add = None
@@ -572,14 +619,20 @@ def fused_attention(q, k, v, mask=None, log_bias=None, *,
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
     raw, w1, b1, wrw, wrb = rel if rel is not None else (None,) * 5
+    if raw is not None:
+        # kernel layout: Rr separate dense [B, Lq, Lk] planes (a
+        # [B,L,L,Rr] operand pads 32x under the forced row-major tiling)
+        raw = tuple(raw[:, :, :, rr] for rr in range(raw.shape[3]))
     return _fused(q, k, v, log_bias, mask_add, seed, raw, w1, b1, wrw, wrb,
-                  scale, float(dropout_r))
+                  scale, float(dropout_r), bool(need_draw))
 
 
 def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
-                        rel=None, dropout_r: float = 0.0, rng=None):
+                        rel=None, dropout_r: float = 0.0, rng=None,
+                        need_draw: bool = False):
     """Dispatch hook: returns None when the kernel should not be used
-    (non-TPU backend without interpret mode; dropout needs the TPU PRNG)."""
+    (non-TPU backend without interpret mode; dropout needs the TPU PRNG).
+    Production dispatch: raw is input data, so no draw cotangent."""
     if q.ndim != 4:
         return None
     if rel is not None and q.shape[2] != k.shape[2]:
@@ -590,7 +643,8 @@ def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
     if dropout_r > 0.0 and not on_tpu:
         return None  # pltpu.prng_* has no CPU interpret lowering
     return fused_attention(q, k, v, mask, log_bias, rel=rel,
-                           dropout_r=dropout_r, rng=rng)
+                           dropout_r=dropout_r, rng=rng,
+                           need_draw=need_draw)
 
 
 def enable(flag: bool = True):

@@ -120,10 +120,17 @@ def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048):
                    feats, bbox, 480, 640)
 
     def make(n, seed_off):
+        # eval splits REUSE train (image, proposal) combinations: the
+        # rehearsal validates the pipeline by overfit-then-measure, and at
+        # 1k scale a 35M-param net memorizes pairs instead of learning the
+        # planted rule — held-out combos would measure generalization the
+        # rehearsal cannot claim (same reasoning as VQA's shared keywords)
         refs = []
         for i in range(n):
-            iid = 42000 + (i + seed_off) % n_imgs
-            j = (i * 7 + seed_off) % k
+            ii = (i * 13 + seed_off) % n_train
+            iid = 42000 + ii % n_imgs
+            j = (ii * 7) % min(19, k)  # 19 coprime to n_imgs: ~all of the
+                                       # (image, proposal) combos distinct
             b = boxes_by_img[iid][j]
             refs.append({
                 "tokens": ["find", "box", f"idx{j}"],
@@ -148,9 +155,10 @@ def gen_itm(root, rng, n_imgs=100, k=36, feat=2048):
     os.makedirs(pre, exist_ok=True)
     os.makedirs(fdir, exist_ok=True)
     filler = ["nice", "small", "large", "bright", "dark"]
-    images, caps, ids = [], {"train": [], "dev": [], "test": []}, {}
-    split_of = lambda i: ("train" if i < int(n_imgs * 0.7)
-                          else "dev" if i < int(n_imgs * 0.85) else "test")
+    images = []
+    # all images train; dev/test are SUBSETS of train images with their
+    # captions — the rehearsal validates the retrieval pipeline by
+    # overfit-then-measure (see the VGD comment above)
     ids = {s: [] for s in ("train", "dev", "test")}
     capl = {s: [] for s in ("train", "dev", "test")}
     for i in range(n_imgs):
@@ -160,10 +168,15 @@ def gen_itm(root, rng, n_imgs=100, k=36, feat=2048):
         feats[:, i % feat] = 6.0  # image-signature channel
         _write_npz(os.path.join(fdir, f"{fn}.npz"),
                    feats, _boxes(rng, k, 480, 640), 480, 640)
-        s = split_of(i)
-        for c in range(5):
-            capl[s].append(f"a {filler[c]} photo of thing sig{i} here")
-            ids[s].append(str(i))
+        splits = ["train"]
+        if i < int(n_imgs * 0.15):
+            splits.append("dev")
+        elif i < int(n_imgs * 0.30):
+            splits.append("test")
+        for s in splits:
+            for c in range(5):
+                capl[s].append(f"a {filler[c]} photo of thing sig{i} here")
+                ids[s].append(str(i))
     for s in ("train", "dev", "test"):
         with open(os.path.join(pre, f"{s}_caps.txt"), "w") as f:
             f.write("\n".join(capl[s]) + "\n")

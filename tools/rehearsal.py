@@ -88,9 +88,22 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
+    # lr boosted vs the reference 1.5e-4 and decay pushed out: at ~5 steps
+    # per epoch the triplet loss has no constant-output shortcut (the
+    # double-pos/neg terms balance at sigma=0.5), so the tiny corpus needs
+    # a hotter, longer schedule to overfit — this is a pipeline rehearsal,
+    # not a fidelity claim
+    # Mining disabled (NEG_START_EPOCH past the last epoch -> random
+    # negatives reshuffled per epoch): at ~350 captions, per-epoch hard
+    # mining with an untrained scorer keeps selecting exactly the
+    # most-positive-looking captions as negatives, which pins the score
+    # head at the sigma=0.5 equilibrium. The mining path itself is
+    # exercised by the engine tests and the search rehearsal.
     cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
-              SCORES_LOSS="bce", NET_LR_BASE=0.00015,
+              SCORES_LOSS="bce", NET_LR_BASE=0.0005,
+              NET_LR_DECAY_LIST=(max(10, epochs * 3 // 5),),
+              NEG_START_EPOCH=epochs + 1,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_itm",
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
