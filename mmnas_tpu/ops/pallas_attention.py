@@ -133,9 +133,14 @@ def _rel_pre_into(pre_scr, t_scr, rel, pl):
     wr_col = rel["wrw"][0]                           # [R, 1] (head block)
     br = rel["wrb"][0, pl.program_id(1)]
     for s, c in _rel_chunks(pre_scr.shape[0]):
+        # HIGHEST precision: pre sits right at the relu/clamp boundary and
+        # the log epilogue amplifies the single-pass-MXU fp32 error (~1e-2
+        # absolute) into O(10) bias errors; the chunked matvec is small
+        # enough that multi-pass fp32 fits the VMEM budget
         p3 = jax.lax.dot_general(
             t_scr[s:s + c].astype(wr_col.dtype), wr_col,
-            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         pre_scr[s:s + c] = p3[:, :, 0] + br
 
 
@@ -430,18 +435,20 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, n_rel, need_draw,
 
         @pl.when(h == pl.num_programs(1) - 1)
         def _():
-            def final(i, carry):
-                s = i * csize
-                du_c = du_scr[pl.ds(s, csize)]                 # [c, Lk, R]
-                db1_acc = carry[0] + jnp.sum(du_c, axis=(0, 1))[None, :]
-                dw1_rows = []
+            # STATIC chunk loop: the plane refs' tiled (sublane) dim only
+            # accepts provably 8-aligned dynamic offsets, and csize=25 for
+            # L=100 is not — python-static slices sidestep the proof. The
+            # per-iteration transients here are just du_c + a plane, so
+            # the unrolled peak stays small (unlike the main rel backward).
+            acc = [jnp.zeros((1, R), jnp.float32) for _ in range(1 + Rr)]
+            for s, c in [(i * csize, csize) for i in range(n_chunks)]:
+                du_c = du_scr[s:s + c]                         # [c, Lk, R]
+                acc[0] += jnp.sum(du_c, axis=(0, 1))[None, :]
                 for rr in range(Rr):
-                    plane = rel["planes"][rr][0, pl.ds(s, csize)].astype(
+                    plane = rel["planes"][rr][0, s:s + c].astype(
                         jnp.float32)                           # [c, Lk]
-                    dw1_rows.append(
-                        carry[1 + rr]
-                        + jnp.sum(plane[:, :, None] * du_c,
-                                  axis=(0, 1))[None, :])
+                    acc[1 + rr] += jnp.sum(plane[:, :, None] * du_c,
+                                           axis=(0, 1))[None, :]
                     if need_draw:
                         # per-plane matvec -> [c, Lk, 1] -> minor squeeze
                         # (probed lowering)
@@ -450,15 +457,10 @@ def _bwd_kernel(scale, dropout_r, has_bias, has_mask, n_rel, need_draw,
                             w1t[:, rr:rr + 1].astype(ds_dt),
                             (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                        draw_refs[rr][0, pl.ds(s, csize)] = d3[:, :, 0]
-                return (db1_acc, *dw1_rows)
-
-            init = tuple(jnp.zeros((1, R), jnp.float32)
-                         for _ in range(1 + Rr))
-            out = jax.lax.fori_loop(0, n_chunks, final, init)
-            db1_ref[0, 0] = out[0][0].astype(db1_ref.dtype)
+                        draw_refs[rr][0, s:s + c] = d3[:, :, 0]
+            db1_ref[0, 0] = acc[0][0].astype(db1_ref.dtype)
             for rr in range(Rr):
-                dw1_ref[0, rr] = out[1 + rr][0].astype(dw1_ref.dtype)
+                dw1_ref[0, rr] = acc[1 + rr][0].astype(dw1_ref.dtype)
 
 
 def _bwd_call(q, k, v, bias, mask_add, rel, dmask, scale, dropout_r,

@@ -109,6 +109,9 @@ def build(mode):
 
 
 def parse_trace(trace_dir, mode):
+    """Aggregate SELF time per op name on the device's 'XLA Ops' lane
+    (events nest — e.g. conditionals contain their branch ops — so plain
+    duration sums double-count; a stack subtracts child time)."""
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
@@ -118,26 +121,51 @@ def parse_trace(trace_dir, mode):
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device tracks: pids whose process name mentions TPU
-    pid_name = {}
+    pid_name, tid_name = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_name.items()
-                if "TPU" in n or "/device" in n.lower()}
-    agg, total = {}, 0.0
-    strip = re.compile(r"[.\d]+$")
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "M":
             continue
-        name = strip.sub("", e.get("name", "?"))
-        dur = e.get("dur", 0) / 1e3  # ms
-        agg[name] = agg.get(name, 0.0) + dur
-        total += dur
+        if e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
+
+    from collections import defaultdict
+    lanes = defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pid_name.get(e["pid"], ""):
+            continue
+        if tid_name.get((e["pid"], e["tid"])) != "XLA Ops":
+            continue
+        lanes[(e["pid"], e["tid"])].append(e)
+
+    strip = re.compile(r"[.\d]+$")
+    agg, shapes = defaultdict(float), {}
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []
+        for e in evs:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] + stack[-1][1] <= ts:
+                stack.pop()
+            if stack:
+                stack[-1][2][0] -= dur
+            holder = [dur]
+            e["_self"] = holder
+            stack.append((ts, dur, holder))
+        for e in evs:
+            name = strip.sub("", e.get("name", "?")) or "(unnamed)"
+            agg[name] += max(0, e["_self"][0]) / 1e3
+            if name not in shapes:
+                shapes[name] = str(e.get("args", {}).get("long_name", ""))[:90]
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
-    print(f"\ntop ops by device time ({path}):")
+    total = sum(agg.values())
+    print(f"\ntop ops by device SELF time ({path}):")
     for name, ms in top:
-        print(f"  {ms:10.3f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {name}")
+        print(f"  {ms:10.3f} ms  {100 * ms / max(total, 1e-9):5.1f}%  "
+              f"{name}  {shapes.get(name, '')}")
     print(f"  total device time: {total:.1f} ms")
     os.makedirs("logs", exist_ok=True)
     with open(f"logs/profile_ops_{mode}.json", "w") as f:
