@@ -149,6 +149,14 @@ class SearchCfg(Cfg):
     ALPHA_LR_BASE: float = 0.1
     ALPHA_WEIGHT_DECAY: float = 0.0
     ALPHA_OPT_BETAS: Tuple[float, float] = (0.0, 0.999)
+    DENSE_WEIGHT_STEP: bool = False   # weight steps run ALL branches with
+                                      # one-hot straight-through gates
+                                      # (identical forward/grads to the
+                                      # lax.switch path — tested) instead of
+                                      # switching programs; removes the
+                                      # switch-boundary traffic that
+                                      # profiles at ~27% of weight-step
+                                      # device time
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
@@ -205,6 +213,10 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--ALPHA_MODE", dest="ALPHA_BINARY_MODE", default=None,
                        choices=["full", "two"],
                        help="arch-step gate mode (reference ALPHA_BINARY_MODE)")
+        p.add_argument("--DENSE_WEIGHT", dest="DENSE_WEIGHT_STEP",
+                       default=False, action="store_true",
+                       help="weight steps compute all branches + one-hot "
+                            "gates instead of lax.switch (perf experiment)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)
@@ -245,6 +257,9 @@ def cfg_from_args(task: str, args, search: bool = False) -> Cfg:
         cfg = cfg.replace(EVAL_EVERY_EPOCH=False)
     if task == "itm" and not search:
         cfg = cfg.replace(EVAL_BATCH_SIZE=cfg.BATCH_SIZE * 2)  # train_itm.py:133
+    else:
+        # reference ties eval batch to train batch (train_vqa.py:134)
+        cfg = cfg.replace(EVAL_BATCH_SIZE=cfg.BATCH_SIZE)
     if cfg.MULTIHOST:
         import jax
         jax.distributed.initialize()

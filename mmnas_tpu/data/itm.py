@@ -20,7 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from functools import lru_cache
+from collections import OrderedDict
 from typing import Dict
 
 import numpy as np
@@ -94,6 +94,11 @@ class ItmDataset:
         self.max_token = cfg.MAX_TOKEN
         self.ans_size = 1
         self.n_imgs = len(self.feat_ids_list)
+        # per-instance bounded LRU of decoded image tuples (an lru_cache on
+        # the method would key on `self` and pin every instance's corpus for
+        # the process lifetime — ~2x residency with train+eval datasets)
+        self._img_cache: OrderedDict = OrderedDict()
+        self._img_cache_max = 4096
         self.shuffle_neg_idx()
 
     def shuffle_neg_idx(self):
@@ -114,8 +119,11 @@ class ItmDataset:
                 break
         return out
 
-    @lru_cache(maxsize=4096)
     def _img(self, img_idx: int):
+        cached = self._img_cache.get(img_idx)
+        if cached is not None:
+            self._img_cache.move_to_end(img_idx)
+            return cached
         cfg = self.cfg
         feat = self.features.get(self.feat_ids_list[img_idx])
         frcn = pad_feat(feat["x"], cfg.FRCNFEAT_LEN)
@@ -125,7 +133,11 @@ class ItmDataset:
         rel = np.zeros((cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_LEN, 4), np.float32)
         k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
         rel[:k, :k] = relation_embedding(bbox[:k])
-        return frcn, bbox_feat, rel
+        out = (frcn, bbox_feat, rel)
+        self._img_cache[img_idx] = out
+        if len(self._img_cache) > self._img_cache_max:
+            self._img_cache.popitem(last=False)
+        return out
 
     def get_all_caps(self):
         caps = np.stack([self.proc_cap(c) for c in self.caps_list])

@@ -97,6 +97,12 @@ class SearchExecution:
 
     def make_weight_step(self, net: NetSearch, optim: WarmupAdam):
         cfg, n_shards = self.cfg, self.n_shards
+        # DENSE_WEIGHT_STEP: express the single-path weight step as the
+        # all-branch one-hot-gated program (mode='full'). Forward value and
+        # param gradients are identical (gates are numerically one-hot and
+        # inactive branches are stop_gradient'ed); what changes is the XLA
+        # program — no lax.switch boundaries, whole chain fusable.
+        wmode = "full" if getattr(cfg, "DENSE_WEIGHT_STEP", False) else "sampled"
 
         def step(params, opt_state, alpha, batch, rng):
             k_sample, k_drop = jax.random.split(rng)
@@ -104,7 +110,7 @@ class SearchExecution:
 
             def loss_fn(p):
                 return self.forward_loss(net, p, alpha, batch, idx,
-                                         "sampled", k_drop)
+                                         wmode, k_drop)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)

@@ -32,16 +32,18 @@ def use_pallas(flag: bool):
 
 def rsa_fusion_active(dropout_r: float = 0.0, train: bool = False) -> bool:
     """True when the RSA rel-chain fusion will actually dispatch — lets the
-    caller skip materializing the [B,H,L,L] log-bias (ops/modules.py)."""
+    caller skip materializing the [B,H,L,L] log-bias (ops/modules.py).
+    Backend logic is shared with try_fused_attention
+    (pallas_attention.backend_supports_fusion) so the two cannot drift; the
+    remaining shape checks (4-d q, Lq == Lk) hold by construction at the
+    only caller (_rel_mhatt_apply — RSA is self-attention), and if the
+    kernel still declines, scaled_dot_attention's fallback is
+    checkpoint-protected."""
     if not _USE_PALLAS:
         return False
     from mmnas_tpu.ops import pallas_attention
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu and not pallas_attention.INTERPRET:
-        return False
-    if train and dropout_r > 0.0 and not on_tpu:
-        return False
-    return True
+    eff_drop = dropout_r if train else 0.0
+    return pallas_attention.backend_supports_fusion(eff_drop)
 
 
 def rsa_log_bias(wr, rel_proj):
@@ -60,6 +62,13 @@ def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *, rel=None,
     log_bias: [B, H, Lq, Lk] additive pre-softmax bias (already logged);
     rel: (raw, W1, b1, Wr, br) RSA chain for in-kernel bias fusion."""
     eff_drop = dropout_r if (train and dropout_r > 0.0) else 0.0
+    if rel is not None:
+        # the raw geometry tensor is input data in every production path;
+        # stop_gradient here makes BOTH branches below agree with the fused
+        # kernel's need_draw=False backward (zero raw cotangent) — without
+        # it a differentiable raw would silently get real gradients on the
+        # jnp path and zeros on the TPU kernel path
+        rel = (jax.lax.stop_gradient(rel[0]),) + tuple(rel[1:])
     if _USE_PALLAS:
         from mmnas_tpu.ops import pallas_attention
         out = pallas_attention.try_fused_attention(
@@ -68,10 +77,13 @@ def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *, rel=None,
             return out
 
     if rel is not None and log_bias is None:
-        # kernel declined: materialize the bias chain in jnp
-        raw, w1, b1, wrw, wrb = rel
-        proj = jax.nn.relu(raw @ w1 + b1)
-        log_bias = rsa_log_bias({"w": wrw, "b": wrb}, proj)
+        # kernel declined: materialize the bias chain in jnp, checkpointed
+        # so the [B,H,Lq,Lk] bias is recomputed in the backward instead of
+        # saved (mirrors _rel_mhatt_apply's non-fused path)
+        def _bias_chain(raw, w1, b1, wrw, wrb):
+            proj = jax.nn.relu(raw @ w1 + b1)
+            return rsa_log_bias({"w": wrw, "b": wrb}, proj)
+        log_bias = jax.checkpoint(_bias_chain)(*rel)
 
     d_k = q.shape[-1]
     # scores + softmax in float32 even for bf16 inputs (MXU accumulates

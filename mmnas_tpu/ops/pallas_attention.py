@@ -621,12 +621,30 @@ def fused_attention(q, k, v, mask=None, log_bias=None, *,
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
     raw, w1, b1, wrw, wrb = rel if rel is not None else (None,) * 5
+    if raw is not None and not need_draw:
+        # need_draw=False means the backward returns a zero cotangent for
+        # raw; stop_gradient makes that correct by construction for ANY
+        # caller instead of an implicit contract with _rel_mhatt_apply
+        raw = jax.lax.stop_gradient(raw)
     if raw is not None:
         # kernel layout: Rr separate dense [B, Lq, Lk] planes (a
         # [B,L,L,Rr] operand pads 32x under the forced row-major tiling)
         raw = tuple(raw[:, :, :, rr] for rr in range(raw.shape[3]))
     return _fused(q, k, v, log_bias, mask_add, seed, raw, w1, b1, wrw, wrb,
                   scale, float(dropout_r), bool(need_draw))
+
+
+def backend_supports_fusion(dropout_r: float = 0.0) -> bool:
+    """Backend half of the dispatch predicate — the single source of truth
+    shared by try_fused_attention and ops.attention.rsa_fusion_active (the
+    latter has no shapes in hand, so shape checks stay in
+    try_fused_attention)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not INTERPRET:
+        return False
+    if dropout_r > 0.0 and not on_tpu:
+        return False  # pltpu.prng_* has no CPU interpret lowering
+    return True
 
 
 def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
@@ -639,11 +657,8 @@ def try_fused_attention(q, k, v, mask=None, log_bias=None, *,
         return None
     if rel is not None and q.shape[2] != k.shape[2]:
         return None  # RSA is self-attention (Lq == Lk)
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu and not INTERPRET:
+    if not backend_supports_fusion(dropout_r):
         return None
-    if dropout_r > 0.0 and not on_tpu:
-        return None  # pltpu.prng_* has no CPU interpret lowering
     return fused_attention(q, k, v, mask, log_bias, rel=rel,
                            dropout_r=dropout_r, rng=rng,
                            need_draw=need_draw)

@@ -62,7 +62,12 @@ def evaluate(annotations: VqaAnnotations,
     for qid in ques_ids:
         gt = annotations.qa[qid]
         res_ans = _norm_res(res[qid])
-        answers = [a["answer"] for a in gt["answers"]]
+        # official API whitespace-normalizes gt answers before comparison
+        # (VQA PythonEvaluationTools vqaEval.py; the reference copy dropped
+        # this — restored here so a real-data answer containing '\n' scores
+        # identically to the official evaluator)
+        answers = [a["answer"].replace("\n", " ").replace("\t", " ").strip()
+                   for a in gt["answers"]]
         if len(set(answers)) > 1:
             answers = [process_punctuation(a) for a in answers]
         accs = []

@@ -347,3 +347,20 @@ def test_supernet_split_trunk_equals_full_apply():
     split = net.apply_decoder(params, alpha, x_out, x_mask, batch, idx)
     np.testing.assert_allclose(np.asarray(split), np.asarray(full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dense_weight_step_grads_equal_sampled(setup):
+    """DENSE_WEIGHT_STEP (engine/search.py): expressing the weight step as
+    the all-branch one-hot-gated program must give the SAME param gradients
+    as the lax.switch path — active branch grads match, inactive stay
+    zero."""
+    cfg, net, params, alpha, batch = setup
+    idx = net.sample_indices(jax.random.PRNGKey(17), alpha)
+    g_s = jax.grad(lambda p: _loss(net, p, alpha, batch, idx, "sampled"))(params)
+    g_f = jax.grad(lambda p: _loss(net, p, alpha, batch, idx, "full"))(params)
+    flat_s, tdef_s = jax.tree_util.tree_flatten(g_s)
+    flat_f, tdef_f = jax.tree_util.tree_flatten(g_f)
+    assert tdef_s == tdef_f
+    for a, b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

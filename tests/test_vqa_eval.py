@@ -106,3 +106,13 @@ def test_evaluate_wrong_answer(tmp_path):
     annotations = VqaAnnotations(ap, qp)
     stats = evaluate(annotations, [{"question_id": 0, "answer": "dog"}])
     assert stats["overall"] == 0.0
+
+
+def test_evaluate_gt_answer_with_newline(tmp_path):
+    """Official API whitespace-normalizes ground-truth answers before
+    comparison (VQA PythonEvaluationTools; the reference copy dropped it):
+    a gt answer 'cat\\n' must match prediction 'cat'."""
+    ap, qp = _write_anno(tmp_path, {"what": ["cat\n"] * 5 + ["cat\t "] * 5})
+    annotations = VqaAnnotations(ap, qp)
+    stats = evaluate(annotations, [{"question_id": 0, "answer": "cat"}])
+    assert stats["overall"] == 100.0
