@@ -161,11 +161,22 @@ def gen_itm(root, rng, n_imgs=100, k=36, feat=2048):
     # overfit-then-measure (see the VGD comment above)
     ids = {s: [] for s in ("train", "dev", "test")}
     capl = {s: [] for s in ("train", "dev", "test")}
+    n_groups = 10
     for i in range(n_imgs):
         fn = 9000 + i
+        g = i % n_groups
         images.append({"filename": f"{fn}.jpg", "imgid": i})
         feats = rng.randn(k, feat).astype(np.float32) * 0.3
-        feats[:, i % feat] = 6.0  # image-signature channel
+        # HIERARCHICAL signature (round-3 fix for the sigma=0.5 plateau —
+        # the single spiked channel out of 2048, 100-way, was unlearnable
+        # in ~500 steps; loss sat at 4*ln2 = the blind-constant optimum):
+        #  - coarse: a 16-channel GROUP block (10 groups, each seen
+        #    n_imgs/10 times per epoch) — easy to align, breaks the
+        #    equilibrium early;
+        #  - fine: a 8-channel per-IMAGE block — distinguishes group-mates,
+        #    the part hard-negative mining forces the model to learn.
+        feats[:, 64 + g * 16: 64 + g * 16 + 16] = 4.0
+        feats[:, 1024 + i * 8: 1024 + i * 8 + 8] = 6.0
         _write_npz(os.path.join(fdir, f"{fn}.npz"),
                    feats, _boxes(rng, k, 480, 640), 480, 640)
         splits = ["train"]
@@ -175,7 +186,10 @@ def gen_itm(root, rng, n_imgs=100, k=36, feat=2048):
             splits.append("test")
         for s in splits:
             for c in range(5):
-                capl[s].append(f"a {filler[c]} photo of thing sig{i} here")
+                # group + per-image words on the text side, each mentioned
+                # twice to strengthen the LSTM's carry
+                capl[s].append(f"a {filler[c]} grp{g} photo grp{g} of "
+                               f"thing sig{i} here sig{i}")
                 ids[s].append(str(i))
     for s in ("train", "dev", "test"):
         with open(os.path.join(pre, f"{s}_caps.txt"), "w") as f:

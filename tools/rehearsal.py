@@ -36,13 +36,16 @@ def _small(cfg, hsize):
                        ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
 
 
-def run_vqa(data_root: str, epochs: int, hsize: int = 0):
+def run_vqa(data_root: str, epochs: int, hsize: int = 0,
+            arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
+            version: str = "rehearsal_vqa"):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.vqa import Execution
 
     cfg = Cfg(TASK="vqa", DATA_ROOT=data_root, RUN_MODE="train",
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
-              MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_vqa",
+              MAX_EPOCH=epochs, SEED=44, VERSION=version,
+              ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
     ex = Execution(cfg)
@@ -88,22 +91,22 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
-    # lr boosted vs the reference 1.5e-4 and decay pushed out: at ~5 steps
+    # lr boosted vs the reference 1.5e-4 and decay pushed out: at ~8 steps
     # per epoch the triplet loss has no constant-output shortcut (the
     # double-pos/neg terms balance at sigma=0.5), so the tiny corpus needs
     # a hotter, longer schedule to overfit — this is a pipeline rehearsal,
-    # not a fidelity claim
-    # Mining disabled (NEG_START_EPOCH past the last epoch -> random
-    # negatives reshuffled per epoch): at ~350 captions, per-epoch hard
-    # mining with an untrained scorer keeps selecting exactly the
-    # most-positive-looking captions as negatives, which pins the score
-    # head at the sigma=0.5 equilibrium. The mining path itself is
-    # exercised by the engine tests and the search rehearsal.
+    # not a fidelity claim.
+    # Mining starts at mid-run (reference mechanism train_itm.py:299-363):
+    # random negatives first let the scorer separate on the corpus's coarse
+    # group signal; hard mining then selects group-mates as negatives,
+    # which forces the fine per-image signature (make_rehearsal_data.py
+    # hierarchical signal) to be learned.
+    mine_from = max(1, epochs * 2 // 5)
     cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
               SCORES_LOSS="bce", NET_LR_BASE=0.0005,
-              NET_LR_DECAY_LIST=(max(10, epochs * 3 // 5),),
-              NEG_START_EPOCH=epochs + 1,
+              NET_LR_DECAY_LIST=(max(10, epochs * 4 // 5),),
+              NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_itm",
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
@@ -122,18 +125,59 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0):
     return out
 
 
+def run_search_vqa(data_root: str, epochs: int, hsize: int = 0):
+    """The framework's full product contract end to end
+    (search_vqa.py:382-386 -> train_vqa.py:185): bilevel supernet search on
+    the rehearsal corpus, per-epoch genotype dump to
+    arch/rehearsal_search_vqa-search.json, then train the LAST searched
+    genotype through the normal fixed-arch path and score it with VQAEval."""
+    import jax
+
+    from mmnas_tpu.config import SearchCfg
+    from mmnas_tpu.engine.search import SearchExecution
+
+    search_epochs = max(4, epochs)
+    alpha_start = max(1, search_epochs // 4)  # rehearsal-scaled ALPHA_START
+    scfg = SearchCfg(TASK="vqa", DATA_ROOT=data_root, RUN_MODE="train",
+                     BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+                     MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
+                     SEED=44, VERSION="rehearsal_search_vqa-search",
+                     DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
+    if hsize:
+        scfg = scfg.replace(HSIZE=hsize, ATTFLAT_OUT_SIZE=hsize * 2,
+                            ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
+    ex = SearchExecution(scfg)
+    params, alpha, net = ex.run()
+    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
+    genotype = net.genotype(host_alpha)
+    arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
+
+    trained = run_vqa(data_root, epochs, hsize=hsize,
+                      arch_path=arch_json, geno_epoch=search_epochs,
+                      version="rehearsal_search_vqa-train")
+    return {"metric": "search->train vqa_val_accuracy(VQAEval overall)",
+            "value": trained["value"],
+            "searched_genotype": genotype,
+            "genotype_json": arch_json,
+            "search_epochs": search_epochs,
+            "alpha_start": alpha_start,
+            "train_loss_per_example": trained["train_loss_per_example"]}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", default="./data_rehearsal")
     p.add_argument("--task", default="all",
-                   choices=["all", "vqa", "vgd", "itm"])
+                   choices=["all", "vqa", "vgd", "itm", "search_vqa"])
     p.add_argument("--epochs", type=int, default=13)
     p.add_argument("--hsize", type=int, default=0,
                    help="shrink the net for wiring smoke tests (0 = full)")
     args = p.parse_args()
 
-    runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm}
-    tasks = list(runners) if args.task == "all" else [args.task]
+    runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
+               "search_vqa": run_search_vqa}
+    tasks = (["vqa", "vgd", "itm"] if args.task == "all"
+             else [args.task])
     os.makedirs("logs", exist_ok=True)
     for task in tasks:
         t0 = time.time()
