@@ -55,6 +55,9 @@ BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 BENCH_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 BENCH_REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"  # extra metric
+# weight steps via the all-branch one-hot-gated program (no lax.switch);
+# same math, different XLA program — see engine/search.py DENSE_WEIGHT_STEP
+BENCH_DENSE = os.environ.get("BENCH_DENSE", "0") == "1"
 
 
 def bench_train():
@@ -149,12 +152,14 @@ def main():
              _stack([ds[i] for i in range(BATCH)]).items()}
     key = jax.random.PRNGKey(1)
 
+    wmode = "full" if BENCH_DENSE else "sampled"
+
     def weight_body(params, opt_state, alpha, rng):
         k_s, k_d = jax.random.split(rng)
         idx = net.sample_indices(k_s, alpha)
 
         def loss_fn(p):
-            pred = net.apply(p, alpha, batch, idx, mode="sampled",
+            pred = net.apply(p, alpha, batch, idx, mode=wmode,
                              train=True, rng=k_d)
             return ex.loss(pred, batch)
 

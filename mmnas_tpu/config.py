@@ -110,6 +110,11 @@ class Cfg:
 
     # TPU execution
     N_DEVICES: int = 0                # 0 = all visible devices
+    MODEL_AXIS: int = 1               # mesh model-axis size (tensor
+                                      # parallelism; 1 = pure DP, the
+                                      # reference's only strategy). Params
+                                      # follow parallel/sharding.py
+                                      # megatron rules when > 1
     DTYPE: str = "float32"            # compute dtype for activations
     USE_PALLAS: bool = False          # fused attention kernels
     REMAT: bool = False               # jax.checkpoint candidate ops
@@ -183,6 +188,9 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    help="kept for reference-CLI parity; on TPU use --NDEV")
     p.add_argument("--NDEV", dest="N_DEVICES", default=0, type=int,
                    help="devices in the data mesh (0 = all)")
+    p.add_argument("--MODEL_AXIS", dest="MODEL_AXIS", default=1, type=int,
+                   help="mesh model-axis size for tensor parallelism "
+                        "(1 = pure data parallelism)")
     p.add_argument("--SEED", dest="SEED", default=None, type=int)
     p.add_argument("--VERSION", dest="VERSION", default=f"{'search' if search else 'train'}_{task}", type=str)
     p.add_argument("--RESUME", dest="RESUME", default=False, action="store_true")

@@ -164,7 +164,7 @@ class ItmDataset:
             "rel_ques": np.zeros((T, T, 3), np.float32),
         }
         if self.run_mode == "train":
-            r = np.random.RandomState(cfg.SEED * 13 + idx * 7 + 1)
+            r = np.random.RandomState((cfg.SEED * 13 + idx * 7 + 1) % 2**32)
             neg_cap_idx = int(self.neg_caps_idx_tensor[
                 img_idx, r.randint(0, cfg.NEG_HARDSIZE)])
             neg_img_idx = int(self.neg_imgs_idx_tensor[

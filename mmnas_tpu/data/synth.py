@@ -38,7 +38,7 @@ class SynthVgdDataset:
     def __getitem__(self, idx: int):
         from mmnas_tpu.data.vgd import norm_bbox_feat, proc_bbox_label
         cfg = self.cfg
-        r = np.random.RandomState(self.seed * 999_983 + idx)
+        r = np.random.RandomState((self.seed * 999_983 + idx) % 2**32)
         T, K, F = cfg.MAX_TOKEN, cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_SIZE
 
         n_words = int(r.randint(2, T + 1))
@@ -130,7 +130,7 @@ class SynthItmDataset:
 
     # -- raw pieces ---------------------------------------------------------
     def _cap(self, cap_idx: int) -> np.ndarray:
-        r = np.random.RandomState(self.seed * 7_777_777 + cap_idx)
+        r = np.random.RandomState((self.seed * 7_777_777 + cap_idx) % 2**32)
         T = self.max_token
         n = int(r.randint(3, min(T, 12) + 1))
         cap = np.zeros((T,), np.int64)
@@ -139,7 +139,7 @@ class SynthItmDataset:
 
     def _img(self, img_idx: int):
         cfg = self.cfg
-        r = np.random.RandomState(self.seed * 3_333_331 + img_idx)
+        r = np.random.RandomState((self.seed * 3_333_331 + img_idx) % 2**32)
         K, F = cfg.FRCNFEAT_LEN, cfg.FRCNFEAT_SIZE
         img_h, img_w = 480.0, 640.0
         n_obj = int(r.randint(8, K + 1))
@@ -186,7 +186,7 @@ class SynthItmDataset:
             "rel_ques": np.zeros((T, T, 3), np.float32),
         }
         if self.run_mode == "train":
-            r = np.random.RandomState(self.seed * 13 + idx * 7 + 1)
+            r = np.random.RandomState((self.seed * 13 + idx * 7 + 1) % 2**32)
             neg_cap_idx = int(self.neg_caps_idx_tensor[
                 img_idx, r.randint(0, cfg.NEG_HARDSIZE)])
             neg_img_idx = int(self.neg_imgs_idx_tensor[
@@ -226,7 +226,7 @@ class SynthVqaDataset:
         return self.size
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        r = np.random.RandomState(self.seed * 1_000_003 + idx)
+        r = np.random.RandomState((self.seed * 1_000_003 + idx) % 2**32)
         T, K, F = self.max_token, self.frcn_len, self.frcn_size
 
         n_words = int(r.randint(3, T + 1))

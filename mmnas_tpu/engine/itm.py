@@ -265,8 +265,8 @@ class Execution(VqaExecution):
             start_epoch = ckpt["epoch"]
             opt_state = WarmupAdam.set_start_step(opt_state, start_epoch * epoch_steps)
 
-        params = pmesh.replicate(self.mesh, params)
-        opt_state = pmesh.replicate(self.mesh, opt_state)
+        params = pmesh.place_params(self.mesh, params)
+        opt_state = pmesh.place_opt_state(self.mesh, opt_state, params)
         train_step = self.make_train_step(net, optim)
         scorer = self.cached_step("scorer", net, self.make_pair_scorer)
         corpus = self.device_corpus(dataset)  # resident for mining
@@ -326,7 +326,7 @@ class Execution(VqaExecution):
             net = self.build_net(dataset)
         if params is None:
             ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
-            params = pmesh.replicate(self.mesh, ckpt["state_dict"])
+            params = pmesh.place_params(self.mesh, ckpt["state_dict"])
 
         scorer = self.cached_step("scorer", net, self.make_pair_scorer)
         corpus = self.device_corpus(dataset)

@@ -46,7 +46,8 @@ class SearchExecution:
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self.mesh = pmesh.get_mesh(cfg.N_DEVICES)
+        self.mesh = pmesh.get_mesh(cfg.N_DEVICES,
+                                   getattr(cfg, 'MODEL_AXIS', 1))
         self.n_shards = pmesh.data_axis_size(self.mesh)
         self.logger = TextLogger(cfg.LOG_ROOT, cfg.VERSION)
         if cfg.USE_PALLAS:
@@ -189,8 +190,8 @@ class SearchExecution:
             start_epoch = ckpt["epoch"]
             opt_state = WarmupAdam.set_start_step(opt_state, start_epoch * epoch_steps)
 
-        params = pmesh.replicate(self.mesh, params)
-        opt_state = pmesh.replicate(self.mesh, opt_state)
+        params = pmesh.place_params(self.mesh, params)
+        opt_state = pmesh.place_opt_state(self.mesh, opt_state, params)
         alpha = pmesh.replicate(self.mesh, alpha)
         alpha_opt_state = pmesh.replicate(self.mesh, alpha_opt_state)
 

@@ -151,7 +151,7 @@ class Execution(VqaExecution):
             net = self.build_net(dataset)
         if params is None:
             ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
-            params = pmesh.replicate(self.mesh, ckpt["state_dict"])
+            params = pmesh.place_params(self.mesh, ckpt["state_dict"])
 
         folded = fold_bbox_norm(cfg, params)
         eval_step = self.cached_step("eval", net, self.make_eval_step)

@@ -43,7 +43,8 @@ def bce_with_logits_sum(logits, targets):
 class Execution:
     def __init__(self, cfg):
         self.cfg = cfg
-        self.mesh = pmesh.get_mesh(cfg.N_DEVICES)
+        self.mesh = pmesh.get_mesh(cfg.N_DEVICES,
+                                   getattr(cfg, 'MODEL_AXIS', 1))
         self.n_shards = pmesh.data_axis_size(self.mesh)
         self.logger = TextLogger(cfg.LOG_ROOT, cfg.VERSION)
         if cfg.USE_PALLAS:
@@ -157,8 +158,8 @@ class Execution:
             opt_state = WarmupAdam.set_start_step(opt_state, start_epoch * epoch_steps)
             print(f" ========== Resumed from {cfg.CKPT_FILE_PATH} @ epoch {start_epoch}")
 
-        params = pmesh.replicate(self.mesh, params)
-        opt_state = pmesh.replicate(self.mesh, opt_state)
+        params = pmesh.place_params(self.mesh, params)
+        opt_state = pmesh.place_opt_state(self.mesh, opt_state, params)
         train_step = self.make_train_step(net, optim)
 
         step_key = jax.random.PRNGKey(cfg.SEED + 1)
@@ -223,7 +224,7 @@ class Execution:
             net = self.build_net(dataset)
         if params is None:
             ckpt = load_checkpoint(cfg.CKPT_FILE_PATH)
-            params = pmesh.replicate(self.mesh, ckpt["state_dict"])
+            params = pmesh.place_params(self.mesh, ckpt["state_dict"])
 
         eval_step = self.cached_step("eval", net, self.make_eval_step)
         preds = []

@@ -133,12 +133,16 @@ def _rel_pre_into(pre_scr, t_scr, rel, pl):
     wr_col = rel["wrw"][0]                           # [R, 1] (head block)
     br = rel["wrb"][0, pl.program_id(1)]
     for s, c in _rel_chunks(pre_scr.shape[0]):
-        # HIGHEST precision: pre sits right at the relu/clamp boundary and
-        # the log epilogue amplifies the single-pass-MXU fp32 error (~1e-2
-        # absolute) into O(10) bias errors; the chunked matvec is small
-        # enough that multi-pass fp32 fits the VMEM budget
+        # fp32 operands + HIGHEST precision: pre sits right at the
+        # relu/clamp boundary and the log epilogue amplifies the
+        # single-pass-MXU error (~1e-2 absolute) into O(10) bias errors.
+        # The cast is REQUIRED under bf16 compute too — Mosaic rejects
+        # fp32 contract precision on bf16 operands ("Bad lhs type",
+        # observed on v5e) — and the chunked matvec is small enough that
+        # the fp32 copy fits the VMEM budget.
         p3 = jax.lax.dot_general(
-            t_scr[s:s + c].astype(wr_col.dtype), wr_col,
+            t_scr[s:s + c].astype(jnp.float32),
+            wr_col.astype(jnp.float32),
             (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
         pre_scr[s:s + c] = p3[:, :, 0] + br

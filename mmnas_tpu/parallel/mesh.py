@@ -89,6 +89,46 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def model_axis_size(mesh: Mesh) -> int:
+    return mesh.shape["model"]
+
+
+def place_params(mesh: Mesh, params):
+    """Param placement honoring the mesh's model axis: replicated for a
+    1-sized model axis (pure DP, reference parity), megatron TP rules
+    (parallel/sharding.py) otherwise."""
+    if model_axis_size(mesh) == 1:
+        return replicate(mesh, params)
+    from mmnas_tpu.parallel.sharding import shard_params
+    return shard_params(mesh, params)
+
+
+def place_opt_state(mesh: Mesh, opt_state, params):
+    """Adam-style opt-state placement: entries congruent with the param
+    tree (m, v) follow the param shardings; everything else (step counters,
+    lr, per-leaf time trees of scalars) is replicated."""
+    if model_axis_size(mesh) == 1 or not isinstance(opt_state, dict):
+        return replicate(mesh, opt_state)
+    from mmnas_tpu.parallel.sharding import param_shardings
+    p_sh = param_shardings(mesh, params)
+    p_def = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def put_like(leaf, p_leaf, sh):
+        # WarmupAdam's "t" tree is param-congruent but holds SCALAR
+        # counters — only leaves of the param's shape take its sharding
+        ok = getattr(leaf, "shape", None) == getattr(p_leaf, "shape", None)
+        return jax.device_put(leaf, sh if ok else repl)
+
+    out = {}
+    for k, entry in opt_state.items():
+        if jax.tree_util.tree_structure(entry) == p_def:
+            out[k] = jax.tree_util.tree_map(put_like, entry, params, p_sh)
+        else:
+            out[k] = replicate(mesh, entry)
+    return out
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
