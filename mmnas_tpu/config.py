@@ -157,11 +157,16 @@ class SearchCfg(Cfg):
     DENSE_WEIGHT_STEP: bool = False   # weight steps run ALL branches with
                                       # one-hot straight-through gates
                                       # (identical forward/grads to the
-                                      # lax.switch path — tested) instead of
-                                      # switching programs; removes the
-                                      # switch-boundary traffic that
-                                      # profiles at ~27% of weight-step
-                                      # device time
+                                      # lax.switch path — tested) instead
+                                      # of switching programs. MEASURED
+                                      # (v5e-1, 2026-08-17, BS128 bf16):
+                                      # 841.5 ex/s vs 2051 sampled — the
+                                      # all-branch backward (inactive-
+                                      # branch select cotangents, 51% in
+                                      # one embedding-grad fusion) costs
+                                      # far more than the ~27% switch
+                                      # boundary it removes. Kept as the
+                                      # documented negative result.
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at

@@ -11,6 +11,9 @@ geometry tensor (need_draw=True, not the production path):
    scaled_dot_attention's round-3 semantics; grads checked for q,k,v and
    the 4 rel-chain weights only.
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np, jax, jax.numpy as jnp
 from mmnas_tpu.ops import pallas_attention as PA
 from mmnas_tpu.ops.attention import scaled_dot_attention, rsa_log_bias

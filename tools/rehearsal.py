@@ -142,6 +142,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0):
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      SEED=44, VERSION="rehearsal_search_vqa-search",
+                     ARCH_ROOT="./logs/arch/",  # keep tracked arch/ clean
                      DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
     if hsize:
         scfg = scfg.replace(HSIZE=hsize, ATTFLAT_OUT_SIZE=hsize * 2,
