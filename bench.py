@@ -65,6 +65,9 @@ BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"  # extra metric
 # weight steps via the all-branch one-hot-gated program (no lax.switch);
 # same math, different XLA program — see engine/search.py DENSE_WEIGHT_STEP
 BENCH_DENSE = os.environ.get("BENCH_DENSE", "0") == "1"
+# weight steps via the switch-free unified program (attention family merged,
+# params gathered by sampled index) — models/supernet.py mode='unified'
+BENCH_UNIFIED = os.environ.get("BENCH_UNIFIED", "0") == "1"
 
 
 def bench_train():
@@ -159,7 +162,8 @@ def main():
              _stack([ds[i] for i in range(BATCH)]).items()}
     key = jax.random.PRNGKey(1)
 
-    wmode = "full" if BENCH_DENSE else "sampled"
+    wmode = ("full" if BENCH_DENSE
+             else "unified" if BENCH_UNIFIED else "sampled")
 
     def weight_body(params, opt_state, alpha, rng):
         k_s, k_d = jax.random.split(rng)

@@ -167,6 +167,15 @@ class SearchCfg(Cfg):
                                       # far more than the ~27% switch
                                       # boundary it removes. Kept as the
                                       # documented negative result.
+    UNIFIED_WEIGHT_STEP: bool = False  # weight steps run the switch-free
+                                      # program: the 3 dec attention
+                                      # candidates merged into ONE program
+                                      # (params gathered by sampled index,
+                                      # concat-kv + gate-built masks) and
+                                      # feed_forward where-selected; zero
+                                      # lax.switch in the chain. Identical
+                                      # forward/grads to 'sampled'
+                                      # (tests/test_unified.py).
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
@@ -230,6 +239,11 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                        default=False, action="store_true",
                        help="weight steps compute all branches + one-hot "
                             "gates instead of lax.switch (perf experiment)")
+        p.add_argument("--UNIFIED_WEIGHT", dest="UNIFIED_WEIGHT_STEP",
+                       default=False, action="store_true",
+                       help="switch-free weight steps: attention family "
+                            "merged into one gathered-param program, "
+                            "feed_forward where-selected")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

@@ -103,7 +103,13 @@ class SearchExecution:
         # param gradients are identical (gates are numerically one-hot and
         # inactive branches are stop_gradient'ed); what changes is the XLA
         # program — no lax.switch boundaries, whole chain fusable.
-        wmode = "full" if getattr(cfg, "DENSE_WEIGHT_STEP", False) else "sampled"
+        if getattr(cfg, "DENSE_WEIGHT_STEP", False):
+            wmode = "full"
+        elif getattr(cfg, "UNIFIED_WEIGHT_STEP", False):
+            # switch-free sampled program (models/supernet.py mode='unified')
+            wmode = "unified"
+        else:
+            wmode = "sampled"
 
         def step(params, opt_state, alpha, batch, rng):
             k_sample, k_drop = jax.random.split(rng)

@@ -183,6 +183,36 @@ class NetSearch:
             s = jax.lax.switch(idx[ni], branches, s)
         return s
 
+    def _run_nodes_unified(self, cell_type, nodes, node_params, idx, s, pre,
+                           s_mask, pre_mask, rel, train, rngs):
+        """Switch-free sampled execution (VERDICT r2 experiment 2b): no
+        lax.switch anywhere — the attention family runs as ONE program with
+        gathered params + gate-built masks (ops/modules.py
+        unified_att_node), feed_forward is computed alongside and
+        `where`-selected. Outputs and gradients match _run_nodes_sampled
+        exactly (tests/test_unified.py); the XLA program has no conditional
+        boundaries, so the whole 30-node chain is fusable."""
+        space = self.spaces[cell_type]
+        from mmnas_tpu.ops.modules import unified_att_node
+        if cell_type == "enc":
+            assert space == ["self_att_64", "feed_forward"]
+            for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+                out_att = node[0].apply(np_[0], s, pre, s_mask, pre_mask,
+                                        rel, train, rngs)
+                out_ff = node[1].apply(np_[1], s, pre, s_mask, pre_mask,
+                                       rel, train, rngs)
+                s = jnp.where(idx[ni] == 1, out_ff, out_att)
+        else:
+            assert space == ["self_att_64", "rel_self_att_64",
+                             "guided_att_64", "feed_forward"]
+            for ni, (node, np_) in enumerate(zip(nodes, node_params)):
+                out_att = unified_att_node(self.ocfg, np_, idx[ni], s, pre,
+                                           s_mask, pre_mask, rel, train, rngs)
+                out_ff = node[3].apply(np_[3], s, pre, s_mask, pre_mask,
+                                       rel, train, rngs)
+                s = jnp.where(idx[ni] == 3, out_ff, out_att)
+        return s
+
     def _run_nodes_full(self, nodes, node_params, idx, alpha, s, pre, s_mask,
                         pre_mask, rel, train, rngs):
         """All branches + straight-through one-hot gates (MODE='full')."""
@@ -240,6 +270,8 @@ class NetSearch:
     def apply(self, params, alpha, batch, idx, mode: str = "sampled",
               train: bool = False, rng=None):
         """mode 'sampled': execute only idx branches (weight step / eval).
+        mode 'unified': same math as 'sampled' but switch-free — gathered
+        params + where-selects (UNIFIED_WEIGHT_STEP; _run_nodes_unified).
         mode 'full': all branches, straight-through gates (arch step).
         mode 'two': the two idx branches ([n,2] active/inactive pairs),
         pair-softmax straight-through gates (ALPHA_BINARY_MODE='two')."""
@@ -254,6 +286,13 @@ class NetSearch:
                                         idx["enc"], x, None, x_mask, None,
                                         x_rel, train, rngs)
             y = self._run_nodes_sampled(self.dec_nodes, params["dec"],
+                                        idx["dec"], y, x, y_mask, x_mask,
+                                        y_rel, train, rngs)
+        elif mode == "unified":
+            x = self._run_nodes_unified("enc", self.enc_nodes, params["enc"],
+                                        idx["enc"], x, None, x_mask, None,
+                                        x_rel, train, rngs)
+            y = self._run_nodes_unified("dec", self.dec_nodes, params["dec"],
                                         idx["dec"], y, x, y_mask, x_mask,
                                         y_rel, train, rngs)
         elif mode == "full":

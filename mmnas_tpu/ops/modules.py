@@ -190,6 +190,84 @@ def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                         log_bias=log_bias)
 
 
+def unified_att_node(cfg: OpCfg, node_params, idx_n, s, pre, s_mask, pre_mask,
+                     rel, train, rngs, base: int = 64):
+    """Switch-free merged execution of the dec attention-family candidates
+    {self_att_64, rel_self_att_64, guided_att_64} for the NAS weight step.
+
+    Instead of `lax.switch`ing between three separately-compiled programs,
+    this runs ONE attention program whose *parameters and inputs* are
+    selected by the sampled index (VERDICT r2 experiment 2b):
+
+      - weights: the three candidates' (wv,wk,wq,wm) stacks are gathered at
+        `att_sel` (dynamic-slice of ~1MB — cheap vs a conditional boundary);
+      - keys/values: attention runs over concat(s, pre) and a gate-built
+        mask disables the inactive segment (self/rel attend the s part,
+        guided the pre part) — additive MASK_FILL underflows to exact zeros
+        in the softmax, so outputs equal the per-candidate programs';
+      - RSA bias: computed from the raw geometry tensor (checkpointed, as
+        in _rel_mhatt_apply) and multiplied by the rel gate, so `wr`
+        cotangents vanish unless rel_self_att is the sampled op.
+
+    Gradient parity with the switch path: gathers scatter zero cotangents
+    into unsampled stack slices and the zero-gated bias kills `wr` grads,
+    reproducing the reference's None-grad semantics (mixed.py:160-163).
+
+    node_params = [p_self, p_rel, p_guided, ...]; idx_n is the node's
+    sampled index over the dec_safe space (3 = feed_forward, handled by the
+    caller). Requires norm=residual=True (the production op config).
+    """
+    n_heads = cfg.hsize // base
+    att_sel = jnp.minimum(idx_n, 2)
+    is_rel = (idx_n == 1)
+    is_guided = (idx_n == 2)
+
+    def gather(leaves):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs)[att_sel], *leaves)
+
+    core = lambda i: node_params[i]["core"]
+    w = gather([{k: core(i)[k]["w"] for k in ("wv", "wk", "wq", "wm")}
+                for i in range(3)])
+
+    kv = jnp.concatenate((s, pre), axis=1)            # [B, Ls+Lt, H]
+    vv, kk = jnp.split(kv @ jnp.concatenate((w["wv"], w["wk"]), axis=1),
+                       2, axis=-1)
+    qq = s @ w["wq"]
+    vh = _split_heads(vv, n_heads, base)
+    kh = _split_heads(kk, n_heads, base)
+    qh = _split_heads(qq, n_heads, base)
+
+    # gate-built key mask (True = disabled): self/rel see s, guided sees pre
+    mask = jnp.concatenate(
+        (jnp.logical_or(s_mask, is_guided),
+         jnp.logical_or(pre_mask, jnp.logical_not(is_guided))), axis=-1)
+
+    # RSA bias over the s segment, zero-gated unless rel is sampled
+    wr = core(1)["wr"]
+    if isinstance(rel, dict):
+        raw = jax.lax.stop_gradient(rel["raw"])
+        bias_s = jax.checkpoint(_rsa_bias_from_raw)(
+            rel["w1"], rel["b1"], wr, raw)
+    else:
+        bias_s = _rsa_bias(wr, rel)
+    bias_s = bias_s * is_rel.astype(bias_s.dtype)
+    log_bias = jnp.concatenate(
+        (bias_s, jnp.zeros(bias_s.shape[:3] + (pre.shape[1],),
+                           bias_s.dtype)), axis=-1)
+
+    atted = scaled_dot_attention(qh, kh, vh, mask, log_bias,
+                                 dropout_r=cfg.dropout_r, train=train,
+                                 rng=rngs())
+    att_core = P.linear({"w": w["wm"]}, _merge_heads(atted))
+
+    # dropout -> residual -> gathered LayerNorm (the _wrap_norm_residual
+    # epilogue with the sampled candidate's LN params)
+    att_core = P.dropout(rngs(), att_core, cfg.dropout_r, train)
+    ln = gather([node_params[i]["ln"] for i in range(3)])
+    return P.layernorm(ln, s + att_core)
+
+
 # ---------------------------------------------------------------------------
 # candidate ops
 # ---------------------------------------------------------------------------

@@ -23,14 +23,16 @@ from mmnas_tpu.config import Cfg  # noqa: E402
 from mmnas_tpu.engine.itm import Execution  # noqa: E402
 
 HSIZE = int(os.environ.get("PROBE_HSIZE", "64"))
+DTYPE = os.environ.get("PROBE_DTYPE", "float32")
+LR = float(os.environ.get("PROBE_LR", "0.0005"))
 cfg = Cfg(TASK="itm", DATA_ROOT="./data_rehearsal", RUN_MODE="train",
           DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
-          SCORES_LOSS="bce", NET_LR_BASE=0.0005,
+          SCORES_LOSS="bce", NET_LR_BASE=LR,
           NET_LR_DECAY_LIST=(999,),
           NEG_START_EPOCH=999, NEG_NEPOCH=2,
           BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=0,
           MAX_EPOCH=1, SEED=44, VERSION="itm_probe",
-          DTYPE="float32", EVAL_EVERY_EPOCH=False)
+          DTYPE=DTYPE, EVAL_EVERY_EPOCH=False)
 cfg = cfg.replace(HSIZE=HSIZE, ATTFLAT_OUT_SIZE=HSIZE * 2,
                   ATTFLAT_MLP_SIZE=HSIZE)
 
