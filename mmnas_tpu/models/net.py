@@ -178,10 +178,14 @@ def apply_heads(params, cfg, ocfg: OpCfg, task: str,
             scores = jax.nn.log_softmax(scores, axis=-1)
         reg = P.linear(params["proj_reg"], xy)        # [B, L, 4]
         return scores, reg
-    # itm
+    # itm — sigmoid in fp32: under bf16 compute, sigmoid(logit) for
+    # logit > ~5.5 rounds to exactly 1.0 (bf16 spacing near 1 is 2^-8) and
+    # the downstream BCELoss log1p(-p) returns -inf; the fp32 score keeps
+    # the probability off the saturation rail (tests/test_mixed_precision.py)
     yf = attflat(params["attflat_y"], ocfg, y_out, y_mask, train, rngs)
     xy = P.layernorm(params["proj_norm"], xf + yf)
-    return jax.nn.sigmoid(P.linear(params["proj"], xy)[..., 0])  # [B]
+    logit = P.linear(params["proj"], xy)[..., 0]
+    return jax.nn.sigmoid(logit.astype(jnp.float32))  # [B]
 
 
 # ---------------------------------------------------------------------------

@@ -213,15 +213,32 @@ class RngGen:
     """Deterministic per-call-site key derivation during a single trace.
 
     Python-side counter is fine: tracing happens once, so each call site gets
-    a stable fold_in index inside the compiled program.
+    a stable key index inside the compiled program.
+
+    All site keys come from ONE batched jax.random.split on first draw: a
+    training step has ~100+ dropout sites, and deriving each with its own
+    jax.random.fold_in compiles to a rolled scalar threefry loop on TPU
+    (profiled at ~52ms/step — over half the supernet weight-step time as a
+    no-operand u32 kLoop fusion). One [POOL, 2] split is a single
+    vectorized threefry; per-site static indexing is free. Sites beyond
+    POOL (never hit by current models) fall back to fold_in.
     """
+
+    POOL = 1024
 
     def __init__(self, key):
         self._key = key
         self._n = 0
+        # eager split: deriving it lazily inside a lax.switch branch trace
+        # leaks the tracer across branches; when no site draws, XLA
+        # dead-code-eliminates the unused split
+        self._keys = None if key is None else jax.random.split(key, self.POOL)
 
     def __call__(self):
-        self._n += 1
         if self._key is None:
             return None
-        return jax.random.fold_in(self._key, self._n)
+        n = self._n
+        self._n += 1
+        if n >= self.POOL:
+            return jax.random.fold_in(self._key, n)
+        return self._keys[n]

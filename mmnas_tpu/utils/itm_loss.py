@@ -14,14 +14,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_EPS = 1e-12
 
 
 def _bce_sum(p, target_ones: bool):
-    """torch.nn.BCELoss(reduction='sum') on probabilities (log clamped)."""
-    p = jnp.clip(p, _EPS, 1.0 - _EPS)
-    per = -jnp.log(p) if target_ones else -jnp.log1p(-p)
-    return jnp.sum(per)
+    """torch.nn.BCELoss(reduction='sum') on probabilities. Torch clamps the
+    log term at -100 (BCELoss docs) so a fully-saturated score gives a
+    large finite loss, not inf; an epsilon-clip on p cannot express this in
+    fp32 (1 - 1e-12 rounds to 1.0), let alone bf16 — hence fp32 + log
+    clamping exactly as torch."""
+    p = p.astype(jnp.float32)
+    logp = jnp.log(p) if target_ones else jnp.log1p(-p)
+    return -jnp.sum(jnp.maximum(logp, -100.0))
 
 
 def bce_triplet_loss(scores_pos, scores_negc, scores_negi,

@@ -54,3 +54,32 @@ def test_bf16_grads_are_fp32_and_finite():
     for leaf in jax.tree_util.tree_leaves(g):
         assert leaf.dtype == jnp.float32
         assert bool(jnp.isfinite(leaf).all())
+
+
+def test_itm_bf16_scores_never_saturate_bce():
+    """bf16 regression (round-3 ITM NaN): a confident ITM logit must not
+    produce p == 1.0 (bf16 sigmoid saturates at logit ~5.5 and BCELoss
+    log1p(-p) then returns -inf). The head computes sigmoid in fp32 and the
+    loss upcasts, so the triplet loss stays finite at any confidence."""
+    from mmnas_tpu.utils.itm_loss import bce_triplet_loss
+
+    # direct loss-level check: a fully-saturated bf16 probability is finite
+    p_sat = jnp.asarray([1.0, 0.0], jnp.bfloat16)
+    loss = bce_triplet_loss(p_sat, p_sat, p_sat)
+    assert np.isfinite(float(loss))
+
+    # end-to-end: bf16 ITM net with a large head bias -> scores off the rail
+    cfg = Cfg(**BASE, DTYPE="bfloat16")
+    ds = SynthVqaDataset(cfg, size=4, token_size=20, ans_size=1, seed=0)
+    net = NetFull(cfg, load_genotype("arch/mcan.json"),
+                  {"token_size": 20, "ans_size": 1,
+                   "pretrained_emb": ds.pretrained_emb}, task="itm")
+    params = net.init(jax.random.PRNGKey(0))
+    params["proj"]["b"] = params["proj"]["b"] + 12.0  # drive sigmoid high
+    batch = {k: jnp.asarray(v) for k, v in
+             _stack([ds[i] for i in range(4)]).items()}
+    scores = net.apply(params, batch, train=False)
+    assert scores.dtype == jnp.float32
+    assert float(jnp.max(scores)) < 1.0  # fp32 sigmoid: 1-p stays resolvable
+    loss = bce_triplet_loss(scores, scores, scores)
+    assert np.isfinite(float(loss))
