@@ -34,14 +34,21 @@ barrier — full analysis in docs/perf_analysis.md):
            matvecs at ~1/128 MXU utilization; XLA's batched-matmul jnp
            path wins at L<=100 — kernel stays an opt-in memory tool)
     BS 128 bf16, all-branch weights  ~842 ex/s (BENCH_DENSE=1 negative
-           result: the 120-branch backward costs more than the ~23%
-           switch-boundary time it removes)
-    BS 256 bf16 + REMAT             ~1779 ex/s
-The step is bound by the sequential 30-node chain crossing program-region
-boundaries, not FLOPs; the productive scaling axis is data parallelism
-(139MB grad psum ~ 2.7ms over v5e ICI, docs/architecture.md).
+           result: the 120-branch backward costs more than the switch
+           boundaries it removes)
+    BS 128 bf16, switch-free unified ~1150 ex/s (BENCH_UNIFIED=1 negative
+           result: params-gathered attention + where-selected FF — the
+           always-on second branch outweighs the conditional cost)
+    BS 256 bf16                     ~1959 ex/s (fits unremat'd post
+           RNG-pool; the loop is batch-flat == latency-bound)
+    BS 256 bf16 + REMAT             ~1777 ex/s
+The step is bound by the serialized 30-node dependency chain, not FLOPs
+and not device-op time (pooling the ~128 dropout-site RNG derivations cut
+profiled device self time 4x with zero throughput change); the productive
+scaling axis is data parallelism (139MB grad psum ~ 2.7ms over v5e ICI,
+docs/architecture.md).
 Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS / BENCH_REMAT /
-BENCH_DENSE env vars.
+BENCH_DENSE / BENCH_UNIFIED env vars.
 """
 
 import json
