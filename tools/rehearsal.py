@@ -87,24 +87,28 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0):
     return out
 
 
-def run_itm(data_root: str, epochs: int, hsize: int = 0):
+def run_itm(data_root: str, epochs: int, hsize: int = 0,
+            lr: float = 0.0, mine_from: int = 0):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
-    # lr boosted vs the reference 1.5e-4 and decay pushed out: at ~8 steps
-    # per epoch the triplet loss has no constant-output shortcut (the
-    # double-pos/neg terms balance at sigma=0.5), so the tiny corpus needs
-    # a hotter, longer schedule to overfit — this is a pipeline rehearsal,
-    # not a fidelity claim.
+    # LR: at full width the first bias-corrected Adam step is a ±lr sign
+    # step of the whole ~139MB tree whose common mode points "scores down"
+    # (2 neg BCE terms vs 1 double-weighted pos term at p≈0.5); a hot lr
+    # collapses every score to ~0 and the net only recovers to the BLIND
+    # p=0.5 equilibrium (loss 4·ln2 ≈ 2.7726) — the round-2 plateau. The
+    # reference-scale lr keeps the init representation intact so the
+    # corpus's planted signal can separate scores (probe evidence:
+    # tools/debug/_itm_variant_probe.py docstring).
     # Mining starts at mid-run (reference mechanism train_itm.py:299-363):
     # random negatives first let the scorer separate on the corpus's coarse
     # group signal; hard mining then selects group-mates as negatives,
     # which forces the fine per-image signature (make_rehearsal_data.py
     # hierarchical signal) to be learned.
-    mine_from = max(1, epochs * 2 // 5)
+    mine_from = mine_from or max(1, epochs * 2 // 5)
     cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
-              SCORES_LOSS="bce", NET_LR_BASE=0.0005,
+              SCORES_LOSS="bce", NET_LR_BASE=lr or 0.0005,
               NET_LR_DECAY_LIST=(max(10, epochs * 4 // 5),),
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
@@ -118,7 +122,21 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0):
     eval_set = ex.build_dataset("test")
     eval_loader = ex.make_loader(eval_set, shuffle=False)
     stats = ex.eval(eval_loader, net=net, params=params)
+    # chance floors for this corpus size (random ranking): i2t ranks
+    # n_caps candidate captions with CAPS_PER_IMG relevant per image
+    # (hypergeometric "any in top K"); t2i ranks n_imgs images, 1 relevant
+    from math import comb
+    n_caps = len(eval_set)
+    cpi = eval_set.CAPS_PER_IMG
+    n_imgs = n_caps // cpi
+    floors = {}
+    for k in (1, 5, 10):
+        floors[f"i2t_r{k}_floor"] = round(
+            100.0 * (1.0 - comb(n_caps - cpi, k) / comb(n_caps, k)), 2)
+        floors[f"t2i_r{k}_floor"] = round(100.0 * min(1.0, k / n_imgs), 2)
     out = {"metric": "itm_R@K(test)",
+           "net_lr_base": cfg.NET_LR_BASE, "mine_from_epoch": mine_from,
+           "chance_floors": floors,
            "train_loss_per_example": [round(h, 4) for h in history]}
     if stats:
         out.update({k: round(v, 2) for k, v in stats.items()})
@@ -173,6 +191,10 @@ def main():
     p.add_argument("--epochs", type=int, default=13)
     p.add_argument("--hsize", type=int, default=0,
                    help="shrink the net for wiring smoke tests (0 = full)")
+    p.add_argument("--itm_lr", type=float, default=0.0,
+                   help="ITM NET_LR_BASE override (0 = run_itm default)")
+    p.add_argument("--itm_mine_from", type=int, default=0,
+                   help="ITM NEG_START_EPOCH override (0 = 2/5 of epochs)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
@@ -182,7 +204,10 @@ def main():
     os.makedirs("logs", exist_ok=True)
     for task in tasks:
         t0 = time.time()
-        result = runners[task](args.data_root, args.epochs, args.hsize)
+        kw = {}
+        if task == "itm":
+            kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from}
+        result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
         out = os.path.join("logs", f"rehearsal_{task}.json")
