@@ -149,7 +149,10 @@ def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048):
     print(f"vgd: {n_train} train / {n_eval} eval refs, {n_imgs} images")
 
 
-def gen_itm(root, rng, n_imgs=100, k=36, feat=2048):
+def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
+    # n_imgs=128 exactly fills the per-image signature block
+    # (1024 + 128*8 = 2048 channels) and gives 640 train pairs
+    # (10 steps/epoch at BS 64) with 19-image dev/test splits
     pre = os.path.join(root, "itm", "f30k_precomp")
     fdir = os.path.join(root, "itm", "flickr_bua-r101-fix36")
     os.makedirs(pre, exist_ok=True)

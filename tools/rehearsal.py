@@ -88,7 +88,8 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0):
 
 
 def run_itm(data_root: str, epochs: int, hsize: int = 0,
-            lr: float = 0.0, mine_from: int = 0):
+            lr: float = 0.0, mine_from: int = 0,
+            decay_at: int = 0, decay_r: float = 0.0):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
@@ -106,10 +107,15 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
     # which forces the fine per-image signature (make_rehearsal_data.py
     # hierarchical signal) to be learned.
     mine_from = mine_from or max(1, epochs * 2 // 5)
+    # decay_at/decay_r: two-stage schedule — a decay_r > 1 RAISES the lr at
+    # epoch decay_at (escape the early low-lr phase once scores separate)
+    decay_list = ((decay_at,) if decay_at
+                  else (max(10, epochs * 4 // 5),))
     cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
               SCORES_LOSS="bce", NET_LR_BASE=lr or 0.0005,
-              NET_LR_DECAY_LIST=(max(10, epochs * 4 // 5),),
+              NET_LR_DECAY_LIST=decay_list,
+              NET_LR_DECAY_R=decay_r or 0.2,
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_itm",
@@ -136,6 +142,8 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
         floors[f"t2i_r{k}_floor"] = round(100.0 * min(1.0, k / n_imgs), 2)
     out = {"metric": "itm_R@K(test)",
            "net_lr_base": cfg.NET_LR_BASE, "mine_from_epoch": mine_from,
+           "lr_decay_list": list(cfg.NET_LR_DECAY_LIST),
+           "lr_decay_r": cfg.NET_LR_DECAY_R,
            "chance_floors": floors,
            "train_loss_per_example": [round(h, 4) for h in history]}
     if stats:
@@ -195,6 +203,11 @@ def main():
                    help="ITM NET_LR_BASE override (0 = run_itm default)")
     p.add_argument("--itm_mine_from", type=int, default=0,
                    help="ITM NEG_START_EPOCH override (0 = 2/5 of epochs)")
+    p.add_argument("--itm_decay_at", type=int, default=0,
+                   help="ITM lr milestone epoch (with --itm_decay_r > 1 "
+                        "this RAISES the lr: two-stage escape schedule)")
+    p.add_argument("--itm_decay_r", type=float, default=0.0,
+                   help="ITM lr multiplier at the milestone (0 = 0.2)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
@@ -206,7 +219,8 @@ def main():
         t0 = time.time()
         kw = {}
         if task == "itm":
-            kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from}
+            kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
+                  "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
