@@ -29,18 +29,19 @@ from mmnas_tpu.engine.itm import Execution
 from mmnas_tpu.train.optimizer import WarmupAdam, build_net_optimizer
 
 DT = os.environ.get("DT", "bfloat16")
+LOSS = os.environ.get("LOSS", "bce")
 LR = float(os.environ.get("LR", "0.00003"))
 STEPS = int(os.environ.get("STEPS", "800"))
 BS = int(os.environ.get("BS", "64"))
 LR2_AT = int(os.environ.get("LR2_AT_STEP", "0"))
 LR2_R = float(os.environ.get("LR2_R", "5.0"))
-print(f"=== TPU escape probe DT={DT} LR={LR} STEPS={STEPS} BS={BS} "
+print(f"=== TPU escape probe DT={DT} LOSS={LOSS} LR={LR} STEPS={STEPS} BS={BS} "
       f"LR2_AT_STEP={LR2_AT} LR2_R={LR2_R} backend={jax.default_backend()} ===",
       flush=True)
 
 cfg = Cfg(TASK="itm", DATA_ROOT="./data_rehearsal", RUN_MODE="train",
           DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
-          SCORES_LOSS="bce", NET_LR_BASE=LR, NET_LR_DECAY_LIST=(10 ** 6,),
+          SCORES_LOSS=LOSS, NET_LR_BASE=LR, NET_LR_DECAY_LIST=(10 ** 6,),
           NEG_START_EPOCH=10 ** 6, NEG_NEPOCH=2,
           BATCH_SIZE=BS, EVAL_BATCH_SIZE=BS, NUM_WORKERS=0,
           MAX_EPOCH=1, SEED=44, VERSION="escape_probe",

@@ -89,7 +89,8 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0):
 
 def run_itm(data_root: str, epochs: int, hsize: int = 0,
             lr: float = 0.0, mine_from: int = 0,
-            decay_at: int = 0, decay_r: float = 0.0):
+            decay_at: int = 0, decay_r: float = 0.0,
+            loss: str = "bce"):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
@@ -113,7 +114,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
                   else (max(10, epochs * 4 // 5),))
     cfg = Cfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
-              SCORES_LOSS="bce", NET_LR_BASE=lr or 0.0005,
+              SCORES_LOSS=loss, NET_LR_BASE=lr or 0.0005,
               NET_LR_DECAY_LIST=decay_list,
               NET_LR_DECAY_R=decay_r or 0.2,
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
@@ -141,6 +142,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
             100.0 * (1.0 - comb(n_caps - cpi, k) / comb(n_caps, k)), 2)
         floors[f"t2i_r{k}_floor"] = round(100.0 * min(1.0, k / n_imgs), 2)
     out = {"metric": "itm_R@K(test)",
+           "scores_loss": cfg.SCORES_LOSS,
            "net_lr_base": cfg.NET_LR_BASE, "mine_from_epoch": mine_from,
            "lr_decay_list": list(cfg.NET_LR_DECAY_LIST),
            "lr_decay_r": cfg.NET_LR_DECAY_R,
@@ -208,6 +210,9 @@ def main():
                         "this RAISES the lr: two-stage escape schedule)")
     p.add_argument("--itm_decay_r", type=float, default=0.0,
                    help="ITM lr multiplier at the milestone (0 = 0.2)")
+    p.add_argument("--itm_loss", default="bce", choices=["bce", "margin"],
+                   help="ITM triplet loss (reference supports both, "
+                        "train_itm.py:163-164)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
@@ -220,7 +225,8 @@ def main():
         kw = {}
         if task == "itm":
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
-                  "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r}
+                  "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
+                  "loss": args.itm_loss}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
