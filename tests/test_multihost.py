@@ -52,17 +52,24 @@ def test_two_process_train_step_real():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for pid in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-    losses = {}
+    losses, slosses = {}, {}
     for out in outs:
         m = re.search(r"MHLOSS (\d) (\S+)", out)
         assert m, f"no loss line in:\n{out[-2000:]}"
         losses[int(m.group(1))] = float(m.group(2))
+        ms = re.search(r"MHSLOSS (\d) (\S+) (\S+)", out)
+        assert ms, f"no search loss line in:\n{out[-2000:]}"
+        slosses[int(ms.group(1))] = (float(ms.group(2)), float(ms.group(3)))
     assert set(losses) == {0, 1}
     assert np.isfinite(losses[0])
     assert losses[0] == losses[1], f"process losses diverged: {losses}"
+    # bilevel supernet weight + arch step losses must also agree bit-for-bit
+    assert set(slosses) == {0, 1}
+    assert all(np.isfinite(v) for v in slosses[0])
+    assert slosses[0] == slosses[1], f"search losses diverged: {slosses}"
 
 
 def test_fake_process_count_loader_layout(monkeypatch):
