@@ -153,7 +153,8 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
     return out
 
 
-def run_search_vqa(data_root: str, epochs: int, hsize: int = 0):
+def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
+                   alpha_mode: str = "full"):
     """The framework's full product contract end to end
     (search_vqa.py:382-386 -> train_vqa.py:185): bilevel supernet search on
     the rehearsal corpus, per-epoch genotype dump to
@@ -169,6 +170,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0):
     scfg = SearchCfg(TASK="vqa", DATA_ROOT=data_root, RUN_MODE="train",
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
+                     ALPHA_BINARY_MODE=alpha_mode,
                      SEED=44, VERSION="rehearsal_search_vqa-search",
                      ARCH_ROOT="./logs/arch/",  # keep tracked arch/ clean
                      DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
@@ -186,6 +188,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0):
                       version="rehearsal_search_vqa-train")
     return {"metric": "search->train vqa_val_accuracy(VQAEval overall)",
             "value": trained["value"],
+            "alpha_mode": alpha_mode,
             "searched_genotype": genotype,
             "genotype_json": arch_json,
             "search_epochs": search_epochs,
@@ -213,6 +216,10 @@ def main():
     p.add_argument("--itm_loss", default="bce", choices=["bce", "margin"],
                    help="ITM triplet loss (reference supports both, "
                         "train_itm.py:163-164)")
+    p.add_argument("--search_alpha_mode", default="full",
+                   choices=["full", "two"],
+                   help="arch-step gate mode for --task search_vqa "
+                        "(reference MixedOp.MODE, mixed.py:37)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
@@ -227,6 +234,8 @@ def main():
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss}
+        elif task == "search_vqa":
+            kw = {"alpha_mode": args.search_alpha_mode}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
