@@ -105,6 +105,9 @@ class Cfg:
     RESUME: bool = False
     CKPT_FILE_PATH: Optional[str] = None
     CKPT_ROOT: str = "./logs/ckpts/"
+    CKPT_BACKEND: str = "pickle"      # 'pickle' (reference-parity files) or
+                                      # 'orbax' (async TPU-native saves;
+                                      # train/checkpoint.py)
     LOG_ROOT: str = "./logs/log/"
     ARCH_ROOT: str = "./arch/"        # EVAL_PATH['arch'] (filepath_vqa.py:27)
 
@@ -209,6 +212,10 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--VERSION", dest="VERSION", default=f"{'search' if search else 'train'}_{task}", type=str)
     p.add_argument("--RESUME", dest="RESUME", default=False, action="store_true")
     p.add_argument("--CKPT_PATH", dest="CKPT_FILE_PATH", type=str)
+    p.add_argument("--CKPT_BACKEND", dest="CKPT_BACKEND", default="pickle",
+                   choices=["pickle", "orbax"],
+                   help="checkpoint serialization: reference-parity pickle "
+                        "or async orbax directories")
     p.add_argument("--DATA_ROOT", dest="DATA_ROOT", default="./data", type=str)
     p.add_argument("--SYNTH", dest="SYNTH", default=False, action="store_true",
                    help="synthetic fixed-shape data (no dataset required)")

@@ -199,7 +199,8 @@ class Execution:
 
             if is_writer():
                 save_checkpoint(
-                    ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish),
+                    ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish,
+                              backend=cfg.CKPT_BACKEND),
                     {"state_dict": params, "net_optim": opt_state,
                      "epoch": epoch_finish})
 
