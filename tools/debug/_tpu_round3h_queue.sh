@@ -19,4 +19,8 @@ echo "--- rehearsal: search_vqa (13 search epochs -> train 13) ---" >> $LOG
 python tools/rehearsal.py --task search_vqa --epochs 13 \
   >> $LOG 2> >(tail -12 >> $LOG)
 
+echo "--- rehearsal: search_vgd (13 search epochs -> train 13) ---" >> $LOG
+python tools/rehearsal.py --task search_vgd --epochs 13 \
+  >> $LOG 2> >(tail -12 >> $LOG)
+
 echo "=== queue3h done $(date) ===" >> $LOG

@@ -61,7 +61,9 @@ def run_vqa(data_root: str, epochs: int, hsize: int = 0,
             "train_loss_per_example": [round(h, 4) for h in history]}
 
 
-def run_vgd(data_root: str, epochs: int, hsize: int = 0):
+def run_vgd(data_root: str, epochs: int, hsize: int = 0,
+            arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
+            version: str = "rehearsal_vgd"):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.vgd import Execution
 
@@ -69,7 +71,8 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0):
               DATASET="refcoco", FEAT="vg_woref", MAX_TOKEN=14,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               NET_LR_BASE=0.00014, MAX_EPOCH=epochs, SEED=44,
-              VERSION="rehearsal_vgd", DTYPE="bfloat16",
+              VERSION=version, ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
+              DTYPE="bfloat16",
               EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
     ex = Execution(cfg)
@@ -196,11 +199,56 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
             "train_loss_per_example": trained["train_loss_per_example"]}
 
 
+def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
+                   alpha_mode: str = "full"):
+    """search->genotype->train contract for the VGD task family
+    (search_vgd.py -> train_vgd.py --ARCH_PATH), mirroring run_search_vqa:
+    bilevel supernet search on the rehearsal RefCOCO-format corpus,
+    genotype dump, then fixed-arch training scored with IoU@0.5."""
+    import jax
+
+    from mmnas_tpu.config import SearchCfg
+    from mmnas_tpu.engine.search_vgd import SearchExecution
+
+    search_epochs = max(4, epochs)
+    alpha_start = max(1, search_epochs // 4)
+    scfg = SearchCfg(TASK="vgd", DATA_ROOT=data_root, RUN_MODE="train",
+                     DATASET="refcoco", FEAT="vg_woref", MAX_TOKEN=14,
+                     BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+                     MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
+                     ALPHA_BINARY_MODE=alpha_mode,
+                     SEED=44, VERSION="rehearsal_search_vgd-search",
+                     ARCH_ROOT="./logs/arch/",
+                     DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
+    if hsize:
+        scfg = scfg.replace(HSIZE=hsize, ATTFLAT_OUT_SIZE=hsize * 2,
+                            ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
+    ex = SearchExecution(scfg)
+    params, alpha, net = ex.run()
+    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
+    genotype = net.genotype(host_alpha)
+    arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
+
+    trained = run_vgd(data_root, epochs, hsize=hsize,
+                      arch_path=arch_json, geno_epoch=search_epochs,
+                      version="rehearsal_search_vgd-train")
+    return {"metric": "search->train vgd_accuracy@IoU0.5",
+            "acc_iou0.5_val": trained["acc_iou0.5_val"],
+            "acc_iou0.5_test": trained["acc_iou0.5_test"],
+            "alpha_mode": alpha_mode,
+            "searched_genotype": genotype,
+            "genotype_json": arch_json,
+            "search_epochs": search_epochs,
+            "alpha_start": alpha_start,
+            "train_loss_per_example": trained["train_loss_per_example"]}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", default="./data_rehearsal")
     p.add_argument("--task", default="all",
-                   choices=["all", "vqa", "vgd", "itm", "search_vqa"])
+                   choices=["all", "vqa", "vgd", "itm", "search_vqa",
+                            "search_vgd"])
     p.add_argument("--epochs", type=int, default=13)
     p.add_argument("--hsize", type=int, default=0,
                    help="shrink the net for wiring smoke tests (0 = full)")
@@ -218,12 +266,13 @@ def main():
                         "train_itm.py:163-164)")
     p.add_argument("--search_alpha_mode", default="full",
                    choices=["full", "two"],
-                   help="arch-step gate mode for --task search_vqa "
+                   help="arch-step gate mode for the search tasks "
                         "(reference MixedOp.MODE, mixed.py:37)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
-               "search_vqa": run_search_vqa}
+               "search_vqa": run_search_vqa,
+               "search_vgd": run_search_vgd}
     tasks = (["vqa", "vgd", "itm"] if args.task == "all"
              else [args.task])
     os.makedirs("logs", exist_ok=True)
@@ -234,7 +283,7 @@ def main():
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss}
-        elif task == "search_vqa":
+        elif task in ("search_vqa", "search_vgd"):
             kw = {"alpha_mode": args.search_alpha_mode}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
