@@ -19,11 +19,16 @@ throughput; it is also how a production epoch loop should be shaped
 (host touches the loop only at epoch boundaries).
 
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
-ESTIMATED_BASELINE_PER_GPU is an engineering estimate of the PyTorch
-reference's per-GPU search throughput (~35M-param supernet, BS 64,
-MODE=None single-path steps with Python module surgery per step): ~250
-examples/s/GPU (1000/s aggregate over the 4-GPU baseline) — documented so
-the judge can audit the vs_baseline claim.
+ESTIMATED_BASELINE_PER_GPU is an estimate of the PyTorch reference's
+per-GPU search throughput, now GROUNDED by tools/flops.py (XLA-counted
+step FLOPs + GPU roofline): the search step is 4.41 GFLOP/example, so a
+charitable V100 tops out at 3562 ex/s at an unreachable 100% MFU, and the
+250 ex/s/GPU estimate corresponds to 7% MFU — the right ballpark for BS-64
+fp32 torch with per-step Python module surgery. The train-step anchor
+(450/GPU at 16.45 GFLOP/example) implies 47% MFU, i.e. it is GENEROUS to
+the reference, making train_vs_baseline conservative. Full derivation:
+`python tools/flops.py`; our own v5e MFU (4.6% search / 21.8% train)
+is printed alongside for calibration.
 
 Measured on one v5e chip (2026-08-17, round 3, scan-timed, host-fetch
 barrier — full analysis in docs/perf_analysis.md):
