@@ -53,7 +53,7 @@ profiled device self time 4x with zero throughput change); the productive
 scaling axis is data parallelism (139MB grad psum ~ 2.7ms over v5e ICI,
 docs/architecture.md).
 Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS / BENCH_REMAT /
-BENCH_DENSE / BENCH_UNIFIED env vars.
+BENCH_DENSE / BENCH_UNIFIED / BENCH_HYBRID env vars.
 """
 
 import json
@@ -80,6 +80,8 @@ BENCH_DENSE = os.environ.get("BENCH_DENSE", "0") == "1"
 # weight steps via the switch-free unified program (attention family merged,
 # params gathered by sampled index) — models/supernet.py mode='unified'
 BENCH_UNIFIED = os.environ.get("BENCH_UNIFIED", "0") == "1"
+# weight steps via switch-free enc + sampled dec — mode='hybrid'
+BENCH_HYBRID = os.environ.get("BENCH_HYBRID", "0") == "1"
 
 
 def bench_train():
@@ -175,7 +177,8 @@ def main():
     key = jax.random.PRNGKey(1)
 
     wmode = ("full" if BENCH_DENSE
-             else "unified" if BENCH_UNIFIED else "sampled")
+             else "unified" if BENCH_UNIFIED
+             else "hybrid" if BENCH_HYBRID else "sampled")
 
     def weight_body(params, opt_state, alpha, rng):
         k_s, k_d = jax.random.split(rng)

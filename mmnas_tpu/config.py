@@ -179,6 +179,13 @@ class SearchCfg(Cfg):
                                       # lax.switch in the chain. Identical
                                       # forward/grads to 'sampled'
                                       # (tests/test_unified.py).
+    HYBRID_WEIGHT_STEP: bool = False  # weight steps run switch-free enc
+                                      # (both tiny L=14 text branches,
+                                      # where-selected) + sampled-switch
+                                      # dec: removes 12 of 30 switch
+                                      # sites at ~no extra FLOPs
+                                      # (perf experiment; parity tested
+                                      # in tests/test_unified.py)
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
@@ -251,6 +258,10 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                        help="switch-free weight steps: attention family "
                             "merged into one gathered-param program, "
                             "feed_forward where-selected")
+        p.add_argument("--HYBRID_WEIGHT", dest="HYBRID_WEIGHT_STEP",
+                       default=False, action="store_true",
+                       help="switch-free enc (tiny text branches "
+                            "where-selected) + sampled-switch dec")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

@@ -108,6 +108,9 @@ class SearchExecution:
         elif getattr(cfg, "UNIFIED_WEIGHT_STEP", False):
             # switch-free sampled program (models/supernet.py mode='unified')
             wmode = "unified"
+        elif getattr(cfg, "HYBRID_WEIGHT_STEP", False):
+            # switch-free enc + sampled dec (models/supernet.py mode='hybrid')
+            wmode = "hybrid"
         else:
             wmode = "sampled"
 

@@ -272,6 +272,7 @@ class NetSearch:
         """mode 'sampled': execute only idx branches (weight step / eval).
         mode 'unified': same math as 'sampled' but switch-free — gathered
         params + where-selects (UNIFIED_WEIGHT_STEP; _run_nodes_unified).
+        mode 'hybrid': switch-free enc + sampled dec (HYBRID_WEIGHT_STEP).
         mode 'full': all branches, straight-through gates (arch step).
         mode 'two': the two idx branches ([n,2] active/inactive pairs),
         pair-softmax straight-through gates (ALPHA_BINARY_MODE='two')."""
@@ -293,6 +294,19 @@ class NetSearch:
                                         idx["enc"], x, None, x_mask, None,
                                         x_rel, train, rngs)
             y = self._run_nodes_unified("dec", self.dec_nodes, params["dec"],
+                                        idx["dec"], y, x, y_mask, x_mask,
+                                        y_rel, train, rngs)
+        elif mode == "hybrid":
+            # switch-free enc + sampled-switch dec: the 12 enc nodes run on
+            # tiny text shapes (L=14, ~7% of step FLOPs) so computing both
+            # branches and where-selecting removes 12 of 30 switch-latency
+            # sites at negligible extra compute, while the dec keeps the
+            # sampled path that beat the dense/unified programs
+            # (docs/perf_analysis.md measured matrix)
+            x = self._run_nodes_unified("enc", self.enc_nodes, params["enc"],
+                                        idx["enc"], x, None, x_mask, None,
+                                        x_rel, train, rngs)
+            y = self._run_nodes_sampled(self.dec_nodes, params["dec"],
                                         idx["dec"], y, x, y_mask, x_mask,
                                         y_rel, train, rngs)
         elif mode == "full":

@@ -104,6 +104,40 @@ def test_unified_grads_match_sampled(setup):
         assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
 
 
+@pytest.mark.parametrize("name,enc_vals,dec_vals", FORCED)
+def test_hybrid_forward_matches_sampled(setup, name, enc_vals, dec_vals):
+    """mode='hybrid' (switch-free enc + sampled dec) is the same math."""
+    cfg, net, params, alpha, batch = setup
+    idx = _idx(net, enc_vals, dec_vals)
+    ref = net.apply(params, alpha, batch, idx, mode="sampled", train=False)
+    out = net.apply(params, alpha, batch, idx, mode="hybrid", train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_grads_match_sampled(setup):
+    cfg, net, params, alpha, batch = setup
+    idx = _idx(net, [0, 1, 0], [1, 2, 3, 0])
+
+    def loss(p, mode):
+        pred = net.apply(p, alpha, batch, idx, mode=mode, train=False)
+        return jnp.sum(jnp.square(pred))
+
+    g_ref = jax.grad(lambda p: loss(p, "sampled"))(params)
+    g_hyb = jax.grad(lambda p: loss(p, "hybrid"))(params)
+    flat_ref, tree_def = jax.tree_util.tree_flatten(g_ref)
+    flat_hyb, tree_def2 = jax.tree_util.tree_flatten(g_hyb)
+    assert tree_def == tree_def2
+    for a, b in zip(flat_ref, flat_hyb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+    # the unsampled enc branch must get exactly zero gradient (where-select
+    # cotangent), preserving the reference's None-grad semantics
+    for ni, sampled in enumerate([0, 1, 0]):
+        leaves = jax.tree_util.tree_leaves(g_hyb["enc"][ni][1 - sampled])
+        assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+
 def test_unified_weight_step_loss_matches(setup):
     """The engine-level weight step produces the same loss under
     UNIFIED_WEIGHT_STEP (same idx, same rng, dropout off)."""

@@ -93,7 +93,9 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0,
 def run_itm(data_root: str, epochs: int, hsize: int = 0,
             lr: float = 0.0, mine_from: int = 0,
             decay_at: int = 0, decay_r: float = 0.0,
-            loss: str = "bce"):
+            loss: str = "bce",
+            arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
+            version: str = "rehearsal_itm"):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.itm import Execution
 
@@ -122,7 +124,8 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
               NET_LR_DECAY_R=decay_r or 0.2,
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
-              MAX_EPOCH=epochs, SEED=44, VERSION="rehearsal_itm",
+              MAX_EPOCH=epochs, SEED=44, VERSION=version,
+              ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
     ex = Execution(cfg)
@@ -243,12 +246,73 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
             "train_loss_per_example": trained["train_loss_per_example"]}
 
 
+def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
+                   alpha_mode: str = "full", lr: float = 0.0,
+                   mine_from: int = 0, decay_at: int = 0,
+                   decay_r: float = 0.0, loss: str = "bce"):
+    """search->genotype->train contract for the ITM task family
+    (search_itm.py:382-386-equivalent genotype dump -> train_itm.py
+    --ARCH_PATH), completing the product-rehearsal trilogy: bilevel
+    supernet search WITH in-search hard-negative mining (the reference's
+    defining ITM-search mechanism, search_itm.py:267-270), genotype dump,
+    then fixed-arch training scored with R@K on the test split."""
+    import jax
+
+    from mmnas_tpu.config import SearchCfg
+    from mmnas_tpu.engine.search_itm import SearchExecution
+
+    # the search leg only needs enough epochs past ALPHA_START for alpha to
+    # move (genotype evidence); the TRAIN leg needs the long low-lr schedule
+    # that makes ITM learn (run_itm docstring), so the two are decoupled
+    search_epochs = max(4, min(epochs, 16))
+    alpha_start = max(1, search_epochs // 4)
+    # mining inside the search (reference NEG_START_EPOCH=10 of 50 epochs,
+    # search_itm.py:91): scale to the rehearsal run length, but only after
+    # alpha steps begin so the sampled-path scorer has separated a little
+    search_mine_from = max(alpha_start + 1, search_epochs * 2 // 5)
+    # lr: the full-width collapse diagnosis (run_itm docstring) applies to
+    # the supernet too; use the proven-stable rehearsal lr, not the
+    # reference's real-data 1e-4 (search_itm.py:141)
+    scfg = SearchCfg(TASK="itm", DATA_ROOT=data_root, RUN_MODE="train",
+                     DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
+                     SCORES_LOSS=loss, NET_LR_BASE=lr or 0.00003,
+                     NEG_START_EPOCH=search_mine_from, NEG_NEPOCH=2,
+                     BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
+                     MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
+                     ALPHA_BINARY_MODE=alpha_mode,
+                     SEED=44, VERSION="rehearsal_search_itm-search",
+                     ARCH_ROOT="./logs/arch/",
+                     DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
+    if hsize:
+        scfg = scfg.replace(HSIZE=hsize, ATTFLAT_OUT_SIZE=hsize * 2,
+                            ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
+    ex = SearchExecution(scfg)
+    params, alpha, net = ex.run()
+    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
+    genotype = net.genotype(host_alpha)
+    arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
+
+    trained = run_itm(data_root, epochs, hsize=hsize, lr=lr,
+                      mine_from=mine_from, decay_at=decay_at,
+                      decay_r=decay_r, loss=loss,
+                      arch_path=arch_json, geno_epoch=search_epochs,
+                      version="rehearsal_search_itm-train")
+    return {"metric": "search->train itm_R@K(test)",
+            "alpha_mode": alpha_mode,
+            "searched_genotype": genotype,
+            "genotype_json": arch_json,
+            "search_epochs": search_epochs,
+            "alpha_start": alpha_start,
+            "search_mine_from": search_mine_from,
+            **{k: trained[k] for k in trained if k != "metric"}}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", default="./data_rehearsal")
     p.add_argument("--task", default="all",
                    choices=["all", "vqa", "vgd", "itm", "search_vqa",
-                            "search_vgd"])
+                            "search_vgd", "search_itm"])
     p.add_argument("--epochs", type=int, default=13)
     p.add_argument("--hsize", type=int, default=0,
                    help="shrink the net for wiring smoke tests (0 = full)")
@@ -272,7 +336,8 @@ def main():
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
                "search_vqa": run_search_vqa,
-               "search_vgd": run_search_vgd}
+               "search_vgd": run_search_vgd,
+               "search_itm": run_search_itm}
     tasks = (["vqa", "vgd", "itm"] if args.task == "all"
              else [args.task])
     os.makedirs("logs", exist_ok=True)
@@ -285,6 +350,11 @@ def main():
                   "loss": args.itm_loss}
         elif task in ("search_vqa", "search_vgd"):
             kw = {"alpha_mode": args.search_alpha_mode}
+        elif task == "search_itm":
+            kw = {"alpha_mode": args.search_alpha_mode,
+                  "lr": args.itm_lr, "mine_from": args.itm_mine_from,
+                  "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
+                  "loss": args.itm_loss}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
