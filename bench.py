@@ -44,8 +44,13 @@ barrier — full analysis in docs/perf_analysis.md):
     BS 128 bf16, switch-free unified ~1150 ex/s (BENCH_UNIFIED=1 negative
            result: params-gathered attention + where-selected FF — the
            always-on second branch outweighs the conditional cost)
+    BS 128 bf16, hybrid             ~1993 ex/s (BENCH_HYBRID=1 negative
+           result, 2026-08-18: switch-free enc + sampled dec removes 12
+           of 30 switch sites for ~no FLOPs and still doesn't pay — the
+           boundaries are not the floor)
     BS 256 bf16                     ~1959 ex/s (fits unremat'd post
            RNG-pool; the loop is batch-flat == latency-bound)
+    BS 256 bf16, hybrid             ~1911 ex/s
     BS 256 bf16 + REMAT             ~1777 ex/s
 The step is bound by the serialized 30-node dependency chain, not FLOPs
 and not device-op time (pooling the ~128 dropout-site RNG derivations cut

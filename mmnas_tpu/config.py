@@ -183,9 +183,15 @@ class SearchCfg(Cfg):
                                       # (both tiny L=14 text branches,
                                       # where-selected) + sampled-switch
                                       # dec: removes 12 of 30 switch
-                                      # sites at ~no extra FLOPs
-                                      # (perf experiment; parity tested
-                                      # in tests/test_unified.py)
+                                      # sites at ~no extra FLOPs. MEASURED
+                                      # (v5e-1, 2026-08-18, bf16): 1993
+                                      # ex/s at BS128 vs 2051 sampled —
+                                      # the removed boundaries are worth
+                                      # less than the always-on second
+                                      # enc branch. Kept as the fourth
+                                      # documented negative result
+                                      # (docs/perf_analysis.md); parity
+                                      # tested in tests/test_unified.py
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
