@@ -217,7 +217,8 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--GPU", dest="GPU", default="0", type=str,
                    help="kept for reference-CLI parity; on TPU use --NDEV")
     p.add_argument("--NDEV", dest="N_DEVICES", default=0, type=int,
-                   help="devices in the data mesh (0 = all)")
+                   help="TOTAL devices in the mesh (0 = all); the data "
+                        "axis is NDEV/MODEL_AXIS")
     p.add_argument("--MODEL_AXIS", dest="MODEL_AXIS", default=1, type=int,
                    help="mesh model-axis size for tensor parallelism "
                         "(1 = pure data parallelism)")

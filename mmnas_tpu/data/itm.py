@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import threading
 from collections import OrderedDict
 from typing import Dict
 
@@ -99,6 +100,9 @@ class ItmDataset:
         # the process lifetime — ~2x residency with train+eval datasets)
         self._img_cache: OrderedDict = OrderedDict()
         self._img_cache_max = 4096
+        # the threaded Loader calls __getitem__ concurrently; guard the
+        # get/move_to_end/evict sequence (lru_cache was implicitly locked)
+        self._img_cache_lock = threading.Lock()
         self.shuffle_neg_idx()
 
     def shuffle_neg_idx(self):
@@ -120,10 +124,11 @@ class ItmDataset:
         return out
 
     def _img(self, img_idx: int):
-        cached = self._img_cache.get(img_idx)
-        if cached is not None:
-            self._img_cache.move_to_end(img_idx)
-            return cached
+        with self._img_cache_lock:
+            cached = self._img_cache.get(img_idx)
+            if cached is not None:
+                self._img_cache.move_to_end(img_idx)
+                return cached
         cfg = self.cfg
         feat = self.features.get(self.feat_ids_list[img_idx])
         frcn = pad_feat(feat["x"], cfg.FRCNFEAT_LEN)
@@ -134,9 +139,10 @@ class ItmDataset:
         k = min(bbox.shape[0], cfg.FRCNFEAT_LEN)
         rel[:k, :k] = relation_embedding(bbox[:k])
         out = (frcn, bbox_feat, rel)
-        self._img_cache[img_idx] = out
-        if len(self._img_cache) > self._img_cache_max:
-            self._img_cache.popitem(last=False)
+        with self._img_cache_lock:
+            self._img_cache[img_idx] = out
+            if len(self._img_cache) > self._img_cache_max:
+                self._img_cache.popitem(last=False)
         return out
 
     def get_all_caps(self):

@@ -16,15 +16,26 @@ import jax.numpy as jnp
 
 
 
+_BCE_EPS = 1e-7  # fp32-representable; bounds |dloss/dp| at 1e7
+
+
 def _bce_sum(p, target_ones: bool):
-    """torch.nn.BCELoss(reduction='sum') on probabilities. Torch clamps the
-    log term at -100 (BCELoss docs) so a fully-saturated score gives a
-    large finite loss, not inf; an epsilon-clip on p cannot express this in
-    fp32 (1 - 1e-12 rounds to 1.0), let alone bf16 — hence fp32 + log
-    clamping exactly as torch."""
+    """torch.nn.BCELoss(reduction='sum') on probabilities, computed in fp32.
+
+    Stabilized as log(p + eps): torch keeps the rail finite by clamping the
+    log at -100 forward and the backward denominator at 1e-12, but a plain
+    log-clamp in JAX still NaNs the gradient at an exactly-saturated score
+    (the max picks the constant branch, yet the chain multiplies that zero
+    cotangent by log's 1/p = inf — 0*inf = NaN — poisoning the WHOLE
+    summed gradient in one step). log(p + eps) keeps forward and backward
+    finite AND the rail gradient nonzero (-1/eps, pushing the score off
+    the rail), at the cost of the loss saturating at 16.1 instead of
+    torch's 100 for |logit| >= ~16.6 — in-range values agree with torch to
+    O(eps/p) (tests/test_itm.py parity)."""
     p = p.astype(jnp.float32)
-    logp = jnp.log(p) if target_ones else jnp.log1p(-p)
-    return -jnp.sum(jnp.maximum(logp, -100.0))
+    logp = (jnp.log(p + _BCE_EPS) if target_ones
+            else jnp.log1p(_BCE_EPS - p))
+    return -jnp.sum(logp)
 
 
 def bce_triplet_loss(scores_pos, scores_negc, scores_negi,

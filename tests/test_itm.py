@@ -46,6 +46,28 @@ def test_bce_triplet_loss_vs_torch():
     assert abs(got1 - (l_pos + l_negc + l_negi).item()) < 1e-3
 
 
+def test_bce_triplet_loss_finite_grads_at_saturation():
+    """A score saturated to exactly 0.0 or 1.0 in fp32 (|logit| >= ~104
+    underflows the fp32 sigmoid) must yield a FINITE, nonzero gradient —
+    the old log-clamp formulation NaN'd the entire summed gradient via
+    0 * inf in the VJP, killing the run in one Adam step."""
+    def loss(pos, negc, negi):
+        return bce_triplet_loss(pos, negc, negi, double_pos=True)
+
+    pos = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)   # collapsed positives
+    negc = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)  # saturated negatives
+    negi = jnp.asarray([0.5, 1.0, 0.5], jnp.float32)
+    val = float(loss(pos, negc, negi))
+    grads = jax.grad(loss, argnums=(0, 1, 2))(pos, negc, negi)
+    assert np.isfinite(val)
+    for g in grads:
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), g
+    # the rail examples push back toward the interior with bounded force
+    g_pos = np.asarray(grads[0])
+    assert g_pos[0] < 0 and abs(g_pos[0]) <= 2.1e7  # d(2*BCE)/dp at p=0
+
+
 def test_margin_triplet_loss_vs_torch():
     import torch
     r = np.random.RandomState(1)

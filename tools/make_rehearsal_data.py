@@ -165,6 +165,11 @@ def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
     ids = {s: [] for s in ("train", "dev", "test")}
     capl = {s: [] for s in ("train", "dev", "test")}
     n_groups = 10
+    # the per-image fine block spans channels [1024, 1024 + n_imgs*8); past
+    # that, numpy slice-clamping would silently write NOTHING and the
+    # corpus would be unlearnable with no error
+    assert 1024 + n_imgs * 8 <= feat, (
+        f"n_imgs={n_imgs} needs {1024 + n_imgs * 8} channels > feat={feat}")
     for i in range(n_imgs):
         fn = 9000 + i
         g = i % n_groups

@@ -77,7 +77,8 @@ def build(mode):
     cfg = SearchCfg(TASK="vqa", SYNTH=True, BATCH_SIZE=BATCH, N_DEVICES=1,
                     DTYPE=DTYPE, USE_PALLAS=PALLAS,
                     DENSE_WEIGHT_STEP=os.environ.get("BENCH_DENSE", "0") == "1",
-                    UNIFIED_WEIGHT_STEP=os.environ.get("BENCH_UNIFIED", "0") == "1")
+                    UNIFIED_WEIGHT_STEP=os.environ.get("BENCH_UNIFIED", "0") == "1",
+                    HYBRID_WEIGHT_STEP=os.environ.get("BENCH_HYBRID", "0") == "1")
     ex = SearchExecution(cfg)
     ds = SynthVqaDataset(cfg, size=BATCH, seed=0)
     net = NetSearch(cfg, {"token_size": ds.token_size, "ans_size": ds.ans_size,

@@ -166,8 +166,6 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
     the rehearsal corpus, per-epoch genotype dump to
     arch/rehearsal_search_vqa-search.json, then train the LAST searched
     genotype through the normal fixed-arch path and score it with VQAEval."""
-    import jax
-
     from mmnas_tpu.config import SearchCfg
     from mmnas_tpu.engine.search import SearchExecution
 
@@ -185,8 +183,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
                             ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
     ex = SearchExecution(scfg)
     params, alpha, net = ex.run()
-    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
-    genotype = net.genotype(host_alpha)
+    genotype = net.genotype(alpha)
     arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
 
     trained = run_vqa(data_root, epochs, hsize=hsize,
@@ -208,8 +205,6 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
     (search_vgd.py -> train_vgd.py --ARCH_PATH), mirroring run_search_vqa:
     bilevel supernet search on the rehearsal RefCOCO-format corpus,
     genotype dump, then fixed-arch training scored with IoU@0.5."""
-    import jax
-
     from mmnas_tpu.config import SearchCfg
     from mmnas_tpu.engine.search_vgd import SearchExecution
 
@@ -228,8 +223,7 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
                             ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
     ex = SearchExecution(scfg)
     params, alpha, net = ex.run()
-    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
-    genotype = net.genotype(host_alpha)
+    genotype = net.genotype(alpha)
     arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
 
     trained = run_vgd(data_root, epochs, hsize=hsize,
@@ -256,8 +250,6 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
     supernet search WITH in-search hard-negative mining (the reference's
     defining ITM-search mechanism, search_itm.py:267-270), genotype dump,
     then fixed-arch training scored with R@K on the test split."""
-    import jax
-
     from mmnas_tpu.config import SearchCfg
     from mmnas_tpu.engine.search_itm import SearchExecution
 
@@ -288,8 +280,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                             ATTFLAT_MLP_SIZE=hsize, DTYPE="float32")
     ex = SearchExecution(scfg)
     params, alpha, net = ex.run()
-    host_alpha = jax.tree_util.tree_map(lambda a: a, alpha)
-    genotype = net.genotype(host_alpha)
+    genotype = net.genotype(alpha)
     arch_json = os.path.join(scfg.ARCH_ROOT, scfg.VERSION + ".json")
 
     trained = run_itm(data_root, epochs, hsize=hsize, lr=lr,
