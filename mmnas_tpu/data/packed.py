@@ -1,9 +1,12 @@
 """Packed region-feature store: memory-mapped arrays replacing per-item npz.
 
-At measured TPU step rates (~56k examples/s/chip for fixed-arch training)
-the bottleneck on real data is the host loader: the reference decompresses
-one ~1MB npz per item per epoch in DataLoader workers (SURVEY.md §3 hot
-loop 4). `tools/pack_features.py` converts an npz directory ONCE into
+At measured TPU step rates (~2.6k examples/s/chip fixed-arch train,
+bench.py) the bottleneck on real data is the host loader: the reference
+decompresses one ~1MB npz per item per epoch in DataLoader workers
+(SURVEY.md §3 hot loop 4) — measured at ~81-92 items/s with 4-8 reader
+threads vs ~360-550 items/s from the packed store (4.4-5.9x,
+`tools/bench_loader.py --synth 300`, reference-shape 100x2048 features).
+`tools/pack_features.py` converts an npz directory ONCE into
 
     <dir>.packed/feats.npy   [N, L, F] float16 memmap (zero-padded)
     <dir>.packed/bbox.npy    [N, L, 4] float32 memmap
