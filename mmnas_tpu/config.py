@@ -67,7 +67,9 @@ class Cfg:
     NET_OPTIM: str = "wadam"
     NET_MOMENTUM: float = 0.9
     NET_LR_MIN: float = 0.004
-    REDUCTION: str = "sum"
+    # Dropped reference field: REDUCTION — always 'sum' in every reference
+    # Cfg ('mean' only as a commented-out line, train_vqa.py:159-160); our
+    # losses hard-code sum reduction at their definitions
     NET_OPTIM_WARMUP: bool = True
     NET_LR_BASE: float = 0.00012
     NET_WEIGHT_DECAY: float = 0.0
@@ -132,7 +134,6 @@ class Cfg:
                                       # (K=36, triplet batch plumbing)
     MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
-    STEPS_PER_EPOCH: int = 0          # 0 = derive from dataset size
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

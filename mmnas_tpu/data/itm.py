@@ -103,10 +103,21 @@ class ItmDataset:
         # the threaded Loader calls __getitem__ concurrently; guard the
         # get/move_to_end/evict sequence (lru_cache was implicitly locked)
         self._img_cache_lock = threading.Lock()
+        self.epoch = 0
         self.shuffle_neg_idx()
 
+    def set_epoch(self, epoch: int) -> None:
+        """Reference parity: DataSet draws FRESH random negatives each epoch
+        (torch.randint per shuffle call, random.randint per item access,
+        load_data_itm.py:100-106,201-273). Our RNGs are seeded for run
+        determinism, so the epoch must be folded in — otherwise every
+        pre-mining reshuffle regenerates identical tensors and every item
+        picks the same 1-of-H hard-negative slot all run."""
+        self.epoch = int(epoch)
+
     def shuffle_neg_idx(self):
-        g = np.random.RandomState(self.cfg.SEED + 31337)
+        g = np.random.RandomState(
+            (self.cfg.SEED + 31337 + self.epoch * 131) % 2**32)
         self.neg_caps_idx_tensor = g.randint(
             0, self.data_size, (self.n_imgs, self.cfg.NEG_HARDSIZE)).astype(np.int64)
         self.neg_imgs_idx_tensor = g.randint(
@@ -170,7 +181,9 @@ class ItmDataset:
             "rel_ques": np.zeros((T, T, 3), np.float32),
         }
         if self.run_mode == "train":
-            r = np.random.RandomState((cfg.SEED * 13 + idx * 7 + 1) % 2**32)
+            r = np.random.RandomState(
+                (cfg.SEED * 13 + idx * 7 + 1
+                 + self.epoch * 1_000_003) % 2**32)
             neg_cap_idx = int(self.neg_caps_idx_tensor[
                 img_idx, r.randint(0, cfg.NEG_HARDSIZE)])
             neg_img_idx = int(self.neg_imgs_idx_tensor[

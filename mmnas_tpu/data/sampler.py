@@ -23,8 +23,12 @@ class SubsetShardSampler:
     def __init__(self, data_size: int, num_replicas: int = 1, rank: int = 0,
                  shuffle: bool = False,
                  subset_indices: Optional[Sequence[int]] = None):
+        # `is not None`: an explicitly EMPTY subset must stay empty (a tiny
+        # dataset where the bilevel split rounds to zero should fail loudly
+        # downstream, not silently train on the whole dataset)
         self.subset_indices: List[int] = (
-            list(subset_indices) if subset_indices else list(range(data_size)))
+            list(subset_indices) if subset_indices is not None
+            else list(range(data_size)))
         self.num_replicas = num_replicas
         self.rank = rank
         self.shuffle = shuffle

@@ -116,10 +116,16 @@ class SynthItmDataset:
         self.max_token = cfg.MAX_TOKEN
         g = np.random.RandomState(seed + 5555)
         self.pretrained_emb = g.randn(token_size, cfg.WORD_EMBED_SIZE).astype(np.float32)
+        self.epoch = 0
         self.shuffle_neg_idx()
 
+    def set_epoch(self, epoch: int) -> None:
+        # see ItmDataset.set_epoch: fold the epoch into the negative RNGs
+        self.epoch = int(epoch)
+
     def shuffle_neg_idx(self):
-        g = np.random.RandomState(self.seed + 31337)
+        g = np.random.RandomState(
+            (self.seed + 31337 + self.epoch * 131) % 2**32)
         self.neg_caps_idx_tensor = g.randint(
             0, self.data_size, (self.n_imgs, self.cfg.NEG_HARDSIZE)).astype(np.int64)
         self.neg_imgs_idx_tensor = g.randint(
@@ -186,7 +192,9 @@ class SynthItmDataset:
             "rel_ques": np.zeros((T, T, 3), np.float32),
         }
         if self.run_mode == "train":
-            r = np.random.RandomState((self.seed * 13 + idx * 7 + 1) % 2**32)
+            r = np.random.RandomState(
+                (self.seed * 13 + idx * 7 + 1
+                 + self.epoch * 1_000_003) % 2**32)
             neg_cap_idx = int(self.neg_caps_idx_tensor[
                 img_idx, r.randint(0, cfg.NEG_HARDSIZE)])
             neg_img_idx = int(self.neg_imgs_idx_tensor[

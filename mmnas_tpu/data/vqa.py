@@ -97,6 +97,9 @@ class VqaDataset:
         self.ques_path = qp.get(split0)
         self.anno_path = qp.get(split0 + "-anno")
         self.has_annotations = bool(self.anno_path and os.path.exists(self.anno_path))
+        # soft answer scores exist only for the train split (__getitem__
+        # ships zeros otherwise); eval must not score against the zeros
+        self.has_answer_scores = run_mode == "train"
 
     def __len__(self):
         return self.data_size

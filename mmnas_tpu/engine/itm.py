@@ -56,6 +56,42 @@ def sharded_pair_call(mesh, n_shards, fn, img_idx, cap_idx):
     return np.asarray(fn(ii, cc))[:n]
 
 
+def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
+               rng, R, H, group):
+    """One hard-negative mining sweep (train_itm.py:299-363): for each of
+    n_items, score R random candidates — resampling any that collide with
+    the item's own image/captions (train_itm loader :44-48) — and keep the
+    top H by score. per_img=True: items are images, candidates captions;
+    False: items are captions, candidates images. score_pairs(img_idx,
+    cap_idx) -> host scores. Shared by the train engine and search_itm."""
+    out = np.zeros((n_items, H), np.int64)
+    for start in range(0, n_items, group):
+        idxs = np.arange(start, min(start + group, n_items))
+        g = len(idxs)
+
+        def forbidden(c):
+            if per_img:
+                return (c // caps_per_img) == idxs[:, None]
+            return c == (idxs[:, None] // caps_per_img)
+
+        cand = rng.randint(0, n_cand_pool, (g, R))
+        bad = forbidden(cand)
+        while bad.any():
+            cand[bad] = rng.randint(0, n_cand_pool, int(bad.sum()))
+            bad = forbidden(cand)
+        rep = np.repeat(idxs, R)
+        flat = cand.reshape(-1)
+        pad = group * R - g * R  # keep one compiled shape per sweep
+        if pad:
+            rep = np.pad(rep, (0, pad))
+            flat = np.pad(flat, (0, pad))
+        ii, cc = (rep, flat) if per_img else (flat, rep)
+        s = np.asarray(score_pairs(ii, cc))[:g * R].reshape(g, R)
+        order = np.argsort(-s, axis=-1)[:, :H]
+        out[idxs] = np.take_along_axis(cand, order, axis=1)
+    return out
+
+
 class Execution(VqaExecution):
 
     # ------------------------------------------------------------------ data
@@ -174,14 +210,23 @@ class Execution(VqaExecution):
         return {"x": jnp.concatenate(xs), "mask": jnp.concatenate(ms)}
 
     def device_corpus(self, dataset) -> Dict[str, jnp.ndarray]:
-        caps, _ = dataset.get_all_caps()
-        frcn, bbox_feat, rel = dataset.get_all_imgs()
-        return pmesh.replicate(self.mesh, {
-            "caps": jnp.asarray(caps),
-            "frcn_feat": jnp.asarray(frcn),
-            "bbox_feat": jnp.asarray(bbox_feat),
-            "rel_img": jnp.asarray(rel),
-        })
+        # cached per dataset: features are immutable, and per-epoch eval
+        # would otherwise restack + re-upload the whole corpus every call
+        # (search_itm caches the same way via _mining_state/_eval_corpus)
+        cache = getattr(self, "_corpus_cache", None)
+        if cache is None:
+            cache = self._corpus_cache = {}
+        key = id(dataset)
+        if key not in cache:
+            caps, _ = dataset.get_all_caps()
+            frcn, bbox_feat, rel = dataset.get_all_imgs()
+            cache[key] = pmesh.replicate(self.mesh, {
+                "caps": jnp.asarray(caps),
+                "frcn_feat": jnp.asarray(frcn),
+                "bbox_feat": jnp.asarray(bbox_feat),
+                "rel_img": jnp.asarray(rel),
+            })
+        return cache[key]
 
     # ---------------------------------------------------------------- mining
     def mine_hard_negatives(self, net, params, dataset, scorer, corpus, epoch):
@@ -197,56 +242,17 @@ class Execution(VqaExecution):
         group = max(1, cfg.NEG_BATCHSIZE)  # items per jitted scorer call
         text_enc = self.encode_corpus_text(net, params, corpus)
 
-        def topk_from_scores(scores_flat, cand):
-            s = np.asarray(scores_flat).reshape(-1, R)
-            order = np.argsort(-s, axis=-1)[:, :H]
-            return np.take_along_axis(cand, order, axis=1)
-
-        # -- negative captions, per image
-        new_caps = np.zeros((n_imgs, H), np.int64)
-        for start in range(0, n_imgs, group):
-            idxs = np.arange(start, min(start + group, n_imgs))
-            g = len(idxs)
-            cand = rng.randint(0, n_caps, (g, R))
-            forbidden = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
-            while forbidden.any():  # resample collisions (train_itm loader :44-48)
-                cand[forbidden] = rng.randint(0, n_caps, int(forbidden.sum()))
-                forbidden = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
-            img_pairs = np.repeat(idxs, R)
-            cap_pairs = cand.reshape(-1)
-            pad = group * R - g * R  # keep one compiled shape per sweep
-            if pad:
-                img_pairs = np.pad(img_pairs, (0, pad))
-                cap_pairs = np.pad(cap_pairs, (0, pad))
-            scores = sharded_pair_call(
+        def score_pairs(ii, cc):
+            return sharded_pair_call(
                 self.mesh, self.n_shards,
-                lambda ii, cc: scorer(params, corpus, text_enc, ii, cc),
-                img_pairs, cap_pairs)
-            new_caps[idxs] = topk_from_scores(scores[:g * R], cand)
-        dataset.neg_caps_idx_tensor = new_caps
+                lambda a, b: scorer(params, corpus, text_enc, a, b), ii, cc)
 
-        # -- negative images, per caption
-        new_imgs = np.zeros((n_caps, H), np.int64)
-        for start in range(0, n_caps, group):
-            idxs = np.arange(start, min(start + group, n_caps))
-            g = len(idxs)
-            cand = rng.randint(0, n_imgs, (g, R))
-            forbidden = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
-            while forbidden.any():
-                cand[forbidden] = rng.randint(0, n_imgs, int(forbidden.sum()))
-                forbidden = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
-            cap_pairs = np.repeat(idxs, R)
-            img_pairs = cand.reshape(-1)
-            pad = group * R - g * R
-            if pad:
-                cap_pairs = np.pad(cap_pairs, (0, pad))
-                img_pairs = np.pad(img_pairs, (0, pad))
-            scores = sharded_pair_call(
-                self.mesh, self.n_shards,
-                lambda ii, cc: scorer(params, corpus, text_enc, ii, cc),
-                img_pairs, cap_pairs)
-            new_imgs[idxs] = topk_from_scores(scores[:g * R], cand)
-        dataset.neg_imgs_idx_tensor = new_imgs
+        dataset.neg_caps_idx_tensor = mine_sweep(
+            score_pairs, n_imgs, n_caps, True, dataset.CAPS_PER_IMG,
+            rng, R, H, group)
+        dataset.neg_imgs_idx_tensor = mine_sweep(
+            score_pairs, n_caps, n_imgs, False, dataset.CAPS_PER_IMG,
+            rng, R, H, group)
 
     # ----------------------------------------------------------------- train
     def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):
@@ -277,6 +283,7 @@ class Execution(VqaExecution):
 
         for epoch in range(start_epoch, cfg.MAX_EPOCH):
             self.logger.stamp()
+            dataset.set_epoch(epoch)  # fresh per-epoch negative draws
             if epoch % cfg.NEG_NEPOCH == 0 and epoch >= cfg.NEG_START_EPOCH:
                 t0 = time.time()
                 self.mine_hard_negatives(net, params, dataset, scorer,

@@ -326,6 +326,11 @@ class SearchExecution:
         dataset = self.build_dataset()
         n = len(dataset)
         split = int(n * cfg.SPLIT_PORTION)
+        if not (0 < split < n):
+            raise ValueError(
+                f"bilevel split degenerate: {n} examples * "
+                f"SPLIT_PORTION={cfg.SPLIT_PORTION} -> weight split {split} "
+                f"/ arch split {n - split}; need both non-empty")
         # ONE dataset, 80/20 bilevel split (search_vqa.py:560-583)
         train_loader = self.make_loader(dataset, shuffle=True,
                                         subset_indices=list(range(split)))

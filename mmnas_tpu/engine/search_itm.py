@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmnas_tpu.engine.itm import recall_metrics, sharded_pair_call
+from mmnas_tpu.engine.itm import mine_sweep, recall_metrics, sharded_pair_call
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
 from mmnas_tpu.models.supernet import NetSearch
 from mmnas_tpu.parallel import mesh as pmesh
@@ -135,6 +135,7 @@ class SearchExecution(SearchBase):
     def on_epoch_start(self, net, params, alpha, dataset, epoch):
         """Hard-negative mining with a sampled path (search_itm.py:267-270)."""
         cfg = self.cfg
+        dataset.set_epoch(epoch)  # fresh per-epoch negative draws
         if not (epoch % cfg.NEG_NEPOCH == 0 and epoch >= cfg.NEG_START_EPOCH):
             if epoch < cfg.NEG_START_EPOCH:
                 dataset.shuffle_neg_idx()
@@ -153,41 +154,18 @@ class SearchExecution(SearchBase):
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)
 
-        def sweep(n_items, n_cand_pool, per_img: bool):
-            out = np.zeros((n_items, H), np.int64)
-            for start in range(0, n_items, group):
-                idxs = np.arange(start, min(start + group, n_items))
-                g = len(idxs)
-                cand = rng.randint(0, n_cand_pool, (g, R))
-                if per_img:  # candidates are captions; avoid own 5
-                    bad = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
-                else:        # candidates are images; avoid own image
-                    bad = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
-                while bad.any():
-                    cand[bad] = rng.randint(0, n_cand_pool, int(bad.sum()))
-                    if per_img:
-                        bad = (cand // dataset.CAPS_PER_IMG) == idxs[:, None]
-                    else:
-                        bad = cand == (idxs[:, None] // dataset.CAPS_PER_IMG)
-                rep = np.repeat(idxs, R)
-                flat = cand.reshape(-1)
-                pad = group * R - g * R
-                if pad:
-                    rep = np.pad(rep, (0, pad))
-                    flat = np.pad(flat, (0, pad))
-                ii, cc = (rep, flat) if per_img else (flat, rep)
-                s = sharded_pair_call(
-                    self.mesh, self.n_shards,
-                    lambda a, b: scorer(params, alpha, corpus, idx,
-                                        text_enc, a, b),
-                    ii, cc)
-                s = s[:g * R].reshape(g, R)
-                order = np.argsort(-s, axis=-1)[:, :H]
-                out[idxs] = np.take_along_axis(cand, order, axis=1)
-            return out
+        def score_pairs(ii, cc):
+            return sharded_pair_call(
+                self.mesh, self.n_shards,
+                lambda a, b: scorer(params, alpha, corpus, idx,
+                                    text_enc, a, b), ii, cc)
 
-        dataset.neg_caps_idx_tensor = sweep(n_imgs, n_caps, per_img=True)
-        dataset.neg_imgs_idx_tensor = sweep(n_caps, n_imgs, per_img=False)
+        dataset.neg_caps_idx_tensor = mine_sweep(
+            score_pairs, n_imgs, n_caps, True, dataset.CAPS_PER_IMG,
+            rng, R, H, group)
+        dataset.neg_imgs_idx_tensor = mine_sweep(
+            score_pairs, n_caps, n_imgs, False, dataset.CAPS_PER_IMG,
+            rng, R, H, group)
         if is_writer():
             print(f"search mining: {time.time() - t0:.1f}s")
 

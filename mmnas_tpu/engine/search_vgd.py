@@ -52,7 +52,9 @@ class SearchExecution(SearchBase):
             iou = bbox_overlaps_jnp(picked[:, None, :], batch["gt_bbox"])[:, 0, 0]
             return (iou >= cfg.OVERLAP_THRESHOLD).astype(jnp.int32)
 
-        return jax.jit(step)
+        # replicated outputs: every process can np.asarray the hits
+        # (multi-host eval would crash on data-sharded globals otherwise)
+        return jax.jit(step, out_shardings=pmesh.replicated_sharding(self.mesh))
 
     def eval(self, eval_loader: Loader, net: NetSearch, params, alpha):
         eval_loader.sampler.set_shuffle(False)

@@ -255,7 +255,10 @@ class Execution:
             dump_result_json(out, result)
 
         accuracy = None
-        if ans_scores:
+        # skip when the dataset carries placeholder zero scores (real VQA
+        # val/test items, data/vqa.py): the 0.00 it would print is bogus and
+        # VQAEval below is the actual metric there
+        if ans_scores and getattr(dataset, "has_answer_scores", True):
             scores = np.concatenate(ans_scores)[:len(preds)]
             # VQA accuracy == the soft score of the predicted answer
             accuracy = float(np.mean(scores[np.arange(len(preds)), preds]))

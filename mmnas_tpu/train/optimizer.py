@@ -92,6 +92,12 @@ class WarmupAdam:
 
         def upd(p, g, m, v, t, mk):
             mk_f = jnp.asarray(mk, p.dtype)
+            if self.weight_decay:
+                # torch.optim.Adam couples L2 into the gradient BEFORE the
+                # moment updates (not AdamW-style decoupled decay) — the
+                # decay term must flow through m/v and the sqrt(v) scaling
+                # to match reference trajectories
+                g = g + self.weight_decay * p
             t_new = t + (jnp.asarray(mk) > 0).astype(jnp.int32)
             m_new = jnp.where(mk_f > 0, b1 * m + (1 - b1) * g, m)
             v_new = jnp.where(mk_f > 0, b2 * v + (1 - b2) * jnp.square(g), v)
@@ -99,8 +105,6 @@ class WarmupAdam:
             m_hat = m_new / (1 - b1 ** t_eff.astype(p.dtype))
             v_hat = v_new / (1 - b2 ** t_eff.astype(p.dtype))
             delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            if self.weight_decay:
-                delta = delta + lr * self.weight_decay * p
             p_new = jnp.where(mk_f > 0, p - delta, p)
             return p_new, m_new, v_new, t_new
 

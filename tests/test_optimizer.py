@@ -66,6 +66,35 @@ def test_adam_trajectory_vs_torch():
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_adam_weight_decay_trajectory_vs_torch():
+    """torch.optim.Adam couples L2 into the gradient BEFORE the moment
+    updates (not AdamW-style decoupled decay); with weight_decay != 0 the
+    trajectories must still match (the reference Cfgs carry wd variants)."""
+    import torch
+    r = np.random.RandomState(3)
+    w0 = r.randn(5, 4).astype(np.float32)
+    grads = [r.randn(5, 4).astype(np.float32) for _ in range(10)]
+    wd = 3e-2
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=1e-2, betas=(0.9, 0.98), eps=1e-9,
+                            weight_decay=wd)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    opt = WarmupAdam(1e-2, betas=(0.9, 0.98), eps=1e-9, weight_decay=wd,
+                     warmup=False)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    for g in grads:
+        params, state, _ = opt.step(state, params, {"w": jnp.asarray(g)})
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_masked_update_matches_torch_none_grad():
     """A leaf masked out for some steps must follow torch's behavior of
     skipping params whose grad is None (no moment/step update)."""
