@@ -110,6 +110,12 @@ class Cfg:
     CKPT_BACKEND: str = "pickle"      # 'pickle' (reference-parity files) or
                                       # 'orbax' (async TPU-native saves;
                                       # train/checkpoint.py)
+    CKPT_EVERY: int = 1               # save every N epochs (1 = per-epoch,
+                                      # reference parity train_vqa.py:315-321;
+                                      # the final epoch is always saved).
+                                      # Device->host fetch of the full
+                                      # params+optimizer tree dominates
+                                      # short-epoch runs on slow links.
     LOG_ROOT: str = "./logs/log/"
     ARCH_ROOT: str = "./arch/"        # EVAL_PATH['arch'] (filepath_vqa.py:27)
 
@@ -231,6 +237,9 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    choices=["pickle", "orbax"],
                    help="checkpoint serialization: reference-parity pickle "
                         "or async orbax directories")
+    p.add_argument("--CKPT_EVERY", dest="CKPT_EVERY", default=1, type=int,
+                   help="save a checkpoint every N epochs (final epoch "
+                        "always saved; 1 = reference per-epoch parity)")
     p.add_argument("--DATA_ROOT", dest="DATA_ROOT", default="./data", type=str)
     p.add_argument("--SYNTH", dest="SYNTH", default=False, action="store_true",
                    help="synthetic fixed-shape data (no dataset required)")

@@ -253,12 +253,14 @@ class SearchExecution:
             weights = net.genotype_weights(host_alpha)
 
             if is_writer():
-                save_checkpoint(
-                    ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish,
-                              backend=cfg.CKPT_BACKEND),
-                    {"state_dict": params, "net_optim": opt_state,
-                     "alpha": alpha, "alpha_optim": alpha_opt_state,
-                     "epoch": epoch_finish})
+                if (epoch_finish % cfg.CKPT_EVERY == 0
+                        or epoch_finish == cfg.MAX_EPOCH):
+                    save_checkpoint(
+                        ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish,
+                                  backend=cfg.CKPT_BACKEND),
+                        {"state_dict": params, "net_optim": opt_state,
+                         "alpha": alpha, "alpha_optim": alpha_opt_state,
+                         "epoch": epoch_finish})
                 msg = (f"epoch = {epoch_finish}  loss = "
                        f"{loss_sum / max(epoch_steps, 1) / self.global_batch():.6f}  "
                        f"lr = {float(lr):.8f}  epoch_s = {dt:.1f}")

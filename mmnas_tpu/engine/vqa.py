@@ -197,7 +197,8 @@ class Execution:
             self.logger.write(msg)
             history.append(loss_sum / max(n_seen, 1))
 
-            if is_writer():
+            if is_writer() and (epoch_finish % cfg.CKPT_EVERY == 0
+                                or epoch_finish == cfg.MAX_EPOCH):
                 save_checkpoint(
                     ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, epoch_finish,
                               backend=cfg.CKPT_BACKEND),

@@ -90,3 +90,15 @@ def test_vqa_eval_mode_standalone(tmp_path):
     cfg_eval = cfg.replace(RUN_MODE="val", CKPT_FILE_PATH=ck)
     acc = Execution(cfg_eval).run()
     assert acc is None or (0.0 <= acc <= 1.0)
+
+
+def test_ckpt_every_skips_intermediate_epochs(tmp_path):
+    """CKPT_EVERY=N saves every Nth epoch plus the final one (default 1 is
+    the reference's per-epoch torch.save parity, train_vqa.py:315-321)."""
+    from mmnas_tpu.engine.vqa import Execution
+    cfg = tiny_cfg("vqa", tmp_path, MAX_EPOCH=3, CKPT_EVERY=2,
+                   VERSION="e2e_ckpt_every")
+    Execution(cfg).run()
+    saved = [e for e in (1, 2, 3)
+             if os.path.exists(ckpt_path(cfg.CKPT_ROOT, cfg.VERSION, e))]
+    assert saved == [2, 3]  # epoch 2 by cadence, epoch 3 as the final

@@ -46,6 +46,8 @@ def run_vqa(data_root: str, epochs: int, hsize: int = 0,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION=version,
               ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
+              CKPT_EVERY=max(1, epochs),  # final-only: the per-epoch full-tree
+              # device fetch dominates rehearsal wall-clock on slow relays
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
     ex = Execution(cfg)
@@ -72,6 +74,7 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               NET_LR_BASE=0.00014, MAX_EPOCH=epochs, SEED=44,
               VERSION=version, ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
+              CKPT_EVERY=max(1, epochs),
               DTYPE="bfloat16",
               EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
@@ -126,6 +129,8 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION=version,
               ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
+              CKPT_EVERY=max(1, epochs),  # final-only: the per-epoch full-tree
+              # device fetch dominates rehearsal wall-clock on slow relays
               DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
     cfg = _small(cfg, hsize)
     ex = Execution(cfg)
@@ -175,6 +180,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      ALPHA_BINARY_MODE=alpha_mode,
+                     CKPT_EVERY=max(1, search_epochs),
                      SEED=44, VERSION="rehearsal_search_vqa-search",
                      ARCH_ROOT="./logs/arch/",  # keep tracked arch/ clean
                      DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
@@ -215,6 +221,7 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      ALPHA_BINARY_MODE=alpha_mode,
+                     CKPT_EVERY=max(1, search_epochs),
                      SEED=44, VERSION="rehearsal_search_vgd-search",
                      ARCH_ROOT="./logs/arch/",
                      DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
@@ -272,6 +279,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      ALPHA_BINARY_MODE=alpha_mode,
+                     CKPT_EVERY=max(1, search_epochs),
                      SEED=44, VERSION="rehearsal_search_itm-search",
                      ARCH_ROOT="./logs/arch/",
                      DTYPE="bfloat16", EVAL_EVERY_EPOCH=False)
