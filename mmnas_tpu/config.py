@@ -141,6 +141,15 @@ class Cfg:
     MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
 
+    def __post_init__(self):
+        # 0 would ZeroDivisionError at the first `epoch % CKPT_EVERY` gate
+        # (engine/vqa.py checkpoint cadence); negatives silently degrade to
+        # final-epoch-only saves — reject both at construction time.
+        if self.CKPT_EVERY < 1:
+            raise ValueError(
+                f"CKPT_EVERY must be >= 1, got {self.CKPT_EVERY} "
+                "(1 = per-epoch reference parity)")
+
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
@@ -211,6 +220,13 @@ class SearchCfg(Cfg):
 # the same parser for them as a usability fix (SURVEY.md §5 config tiers).
 # ---------------------------------------------------------------------------
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=f"mmnas_tpu {task} args")
     p.add_argument("--RUN", dest="RUN_MODE", default="train",
@@ -237,7 +253,8 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                    choices=["pickle", "orbax"],
                    help="checkpoint serialization: reference-parity pickle "
                         "or async orbax directories")
-    p.add_argument("--CKPT_EVERY", dest="CKPT_EVERY", default=1, type=int,
+    p.add_argument("--CKPT_EVERY", dest="CKPT_EVERY", default=1,
+                   type=_positive_int,
                    help="save a checkpoint every N epochs (final epoch "
                         "always saved; 1 = reference per-epoch parity)")
     p.add_argument("--DATA_ROOT", dest="DATA_ROOT", default="./data", type=str)

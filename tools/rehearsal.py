@@ -14,7 +14,10 @@ Usage:
     python tools/make_glove_cache.py --task vqa --data_root ./data_rehearsal --stub   (x3 tasks)
     python tools/rehearsal.py --data_root ./data_rehearsal [--task vqa] [--epochs N]
 
-Writes logs/rehearsal_<task>.json with the metric trajectory.
+Writes docs/evidence/rehearsal_<task>.json (TRACKED — logs/ does not
+survive workspace resets; evidence durability is structural, not a
+round-end mirroring step) with the metric trajectory, the exact schedule
+knobs, the producing command, and a datestamp.
 """
 
 from __future__ import annotations
@@ -22,10 +25,31 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shlex
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+EVIDENCE_DIR = os.path.join(_REPO, "docs", "evidence")
+
+
+def _knobs(cfg):
+    """The schedule/config knobs needed to reproduce a run from its
+    evidence file alone (docs/evidence/README.md contract)."""
+    fields = ("TASK", "VERSION", "SEED", "BATCH_SIZE", "EVAL_BATCH_SIZE",
+              "MAX_EPOCH", "NET_LR_BASE", "NET_LR_DECAY_LIST",
+              "NET_LR_DECAY_R", "ARCH_PATH", "GENO_EPOCH", "DTYPE", "HSIZE",
+              "SCORES_LOSS", "NEG_START_EPOCH", "NEG_NEPOCH", "ALPHA_START",
+              "ALPHA_EVERY", "ALPHA_BINARY_MODE", "ALPHA_LR_BASE",
+              "SPLIT_PORTION", "DATASET", "FEAT", "MAX_TOKEN", "CKPT_EVERY")
+    out = {}
+    for f in fields:
+        if hasattr(cfg, f):
+            v = getattr(cfg, f)
+            out[f] = list(v) if isinstance(v, tuple) else v
+    return out
 
 
 def _small(cfg, hsize):
@@ -60,6 +84,7 @@ def run_vqa(data_root: str, epochs: int, hsize: int = 0,
     acc = ex.eval(eval_loader, net=net, params=params, valid=True)
     return {"metric": "vqa_val_accuracy(VQAEval overall)",
             "value": None if acc is None else round(100.0 * acc, 2),
+            "cfg": _knobs(cfg),
             "train_loss_per_example": [round(h, 4) for h in history]}
 
 
@@ -82,7 +107,8 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0,
     train_set = ex.build_dataset("train")
     train_loader = ex.make_loader(train_set, shuffle=True)
     params, net, history = ex.train(train_loader)
-    out = {"train_loss_per_example": [round(h, 4) for h in history]}
+    out = {"cfg": _knobs(cfg),
+           "train_loss_per_example": [round(h, 4) for h in history]}
     for split in ("val", "test"):  # test -> TEST_SPLIT (default testA)
         eval_set = ex.build_dataset(split)
         eval_loader = ex.make_loader(eval_set, shuffle=False,
@@ -158,6 +184,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
            "lr_decay_list": list(cfg.NET_LR_DECAY_LIST),
            "lr_decay_r": cfg.NET_LR_DECAY_R,
            "chance_floors": floors,
+           "cfg": _knobs(cfg),
            "train_loss_per_example": [round(h, 4) for h in history]}
     if stats:
         out.update({k: round(v, 2) for k, v in stats.items()})
@@ -202,6 +229,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
             "genotype_json": arch_json,
             "search_epochs": search_epochs,
             "alpha_start": alpha_start,
+            "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
             "train_loss_per_example": trained["train_loss_per_example"]}
 
 
@@ -244,6 +272,7 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
             "genotype_json": arch_json,
             "search_epochs": search_epochs,
             "alpha_start": alpha_start,
+            "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
             "train_loss_per_example": trained["train_loss_per_example"]}
 
 
@@ -303,6 +332,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
             "search_epochs": search_epochs,
             "alpha_start": alpha_start,
             "search_mine_from": search_mine_from,
+            "search_cfg": _knobs(scfg),
             **{k: trained[k] for k in trained if k != "metric"}}
 
 
@@ -339,7 +369,7 @@ def main():
                "search_itm": run_search_itm}
     tasks = (["vqa", "vgd", "itm"] if args.task == "all"
              else [args.task])
-    os.makedirs("logs", exist_ok=True)
+    os.makedirs(EVIDENCE_DIR, exist_ok=True)
     for task in tasks:
         t0 = time.time()
         kw = {}
@@ -357,9 +387,18 @@ def main():
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
-        out = os.path.join("logs", f"rehearsal_{task}.json")
+        import jax
+        result["provenance"] = {
+            "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "command": shlex.join([os.path.basename(sys.executable)]
+                                  + sys.argv),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        }
+        out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
+            f.write("\n")
         print(f"[rehearsal] {task}: {json.dumps(result)[:400]}")
         print(f"[rehearsal] wrote {out}")
 
