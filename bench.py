@@ -72,7 +72,7 @@ ESTIMATED_BASELINE_PER_GPU = 250.0  # examples/s/GPU (see docstring)
 # (the reference, again, publishes no throughput numbers).
 ESTIMATED_TRAIN_BASELINE_PER_GPU = 450.0
 
-BENCH_STEPS = 50
+BENCH_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 ALPHA_EVERY = 5
 BATCH = int(os.environ.get("BENCH_BS", 128))
 BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -87,6 +87,9 @@ BENCH_DENSE = os.environ.get("BENCH_DENSE", "0") == "1"
 BENCH_UNIFIED = os.environ.get("BENCH_UNIFIED", "0") == "1"
 # weight steps via switch-free enc + sampled dec — mode='hybrid'
 BENCH_HYBRID = os.environ.get("BENCH_HYBRID", "0") == "1"
+# K independent sampled paths per weight step, each on a strided 1/K batch
+# slice, one union-masked optimizer update (engine/search.py step_kpath)
+BENCH_KPATH = int(os.environ.get("BENCH_KPATH", "1"))
 
 
 def bench_train():
@@ -200,6 +203,37 @@ def main():
         params, opt_state, _ = optim.step(opt_state, params, grads, mask)
         return params, opt_state, loss
 
+    def weight_body_kpath(params, opt_state, alpha, rng):
+        """K independent sampled paths on strided 1/K batch slices, one
+        union-masked update (engine/search.py step_kpath semantics)."""
+        K = BENCH_KPATH
+        k_s, k_d = jax.random.split(rng)
+        idxs = [net.sample_indices(jax.random.fold_in(k_s, k), alpha)
+                for k in range(K)]
+
+        def loss_fn(p):
+            total = 0.0
+            for k in range(K):
+                sl = {name: a[k::K] for name, a in batch.items()}
+                pred = net.apply(p, alpha, sl, idxs[k], mode=wmode,
+                                 train=True, rng=jax.random.fold_in(k_d, k))
+                total += ex.loss(pred, sl)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, _ = clip_by_global_norm(grads, cfg.NET_GRAD_CLIP)
+        mask = net.update_mask(params, idxs[0])
+        for idx_k in idxs[1:]:
+            mask = jax.tree_util.tree_map(
+                jnp.maximum, mask, net.update_mask(params, idx_k))
+        params, opt_state, _ = optim.step(opt_state, params, grads, mask)
+        return params, opt_state, loss
+
+    if BENCH_KPATH > 1:
+        assert wmode == "sampled", "BENCH_KPATH needs the sampled step"
+        assert BATCH % BENCH_KPATH == 0
+        weight_body = weight_body_kpath
+
     def arch_body(alpha, aopt, params, rng):
         k_s, k_d = jax.random.split(rng)
         idx = net.sample_indices(k_s, alpha)
@@ -274,7 +308,8 @@ def main():
     os.makedirs(ev_dir, exist_ok=True)
     knobs = {k: os.environ[k] for k in
              ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
-              "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN")
+              "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
+              "BENCH_KPATH")
              if k in os.environ}
     record["provenance"] = {
         "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -173,6 +173,15 @@ class SearchCfg(Cfg):
     ALPHA_LR_BASE: float = 0.1
     ALPHA_WEIGHT_DECAY: float = 0.0
     ALPHA_OPT_BETAS: Tuple[float, float] = (0.0, 0.999)
+    KPATH: int = 1                    # weight step samples K independent
+                                      # paths per step, each on a strided
+                                      # 1/K batch slice, one union-masked
+                                      # optimizer update (reference
+                                      # semantics at BS/K; the serialized
+                                      # 30-node chain is the latency floor,
+                                      # K chains give the scheduler
+                                      # independent work — see
+                                      # docs/perf_analysis.md round-4 row)
     DENSE_WEIGHT_STEP: bool = False   # weight steps run ALL branches with
                                       # one-hot straight-through gates
                                       # (identical forward/grads to the
@@ -296,6 +305,11 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                        default=False, action="store_true",
                        help="switch-free enc (tiny text branches "
                             "where-selected) + sampled-switch dec")
+        p.add_argument("--KPATH", dest="KPATH", default=1,
+                       type=_positive_int,
+                       help="sample K independent paths per weight step, "
+                            "each on a 1/K batch slice (union-masked "
+                            "single optimizer update)")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

@@ -114,6 +114,8 @@ class SearchExecution:
         else:
             wmode = "sampled"
 
+        kpath = getattr(cfg, "KPATH", 1)
+
         def step(params, opt_state, alpha, batch, rng):
             k_sample, k_drop = jax.random.split(rng)
             idx = net.sample_indices(k_sample, alpha)
@@ -130,6 +132,51 @@ class SearchExecution:
             params, opt_state, lr = optim.step(opt_state, params, grads, mask)
             return params, opt_state, loss, lr
 
+        def step_kpath(params, opt_state, alpha, batch, rng):
+            """K independent sampled paths per step (KPATH > 1): the batch
+            is split K ways by stride (batch[k::K] — an even per-shard
+            split when the leading dim is block-sharded over 'data' and
+            divisible by K), each slice runs its OWN sampled index-set, the
+            K losses sum into one backward, and the optimizer applies ONE
+            update under the UNION of the per-path masks. Equivalent to the
+            reference's weight step run K times at BS/K, except Adam sees
+            the summed grads once instead of K sequential moment updates.
+            Motivation: the sampled step is latency-bound on the serialized
+            30-node chain (docs/perf_analysis.md) — K chains give XLA's
+            scheduler independent work to overlap."""
+            k_sample, k_drop = jax.random.split(rng)
+            idxs = [net.sample_indices(jax.random.fold_in(k_sample, k), alpha)
+                    for k in range(kpath)]
+
+            def loss_fn(p):
+                total = 0.0
+                for k in range(kpath):
+                    sl = jax.tree_util.tree_map(lambda a: a[k::kpath], batch)
+                    total += self.forward_loss(
+                        net, p, alpha, sl, idxs[k], wmode,
+                        jax.random.fold_in(k_drop, k))
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.tree_util.tree_map(lambda g: g / n_shards, grads)
+            if cfg.NET_GRAD_CLIP > 0:
+                grads, _ = clip_by_global_norm(grads, cfg.NET_GRAD_CLIP)
+            mask = net.update_mask(params, idxs[0])
+            for idx_k in idxs[1:]:
+                mask = jax.tree_util.tree_map(
+                    jnp.maximum, mask, net.update_mask(params, idx_k))
+            params, opt_state, lr = optim.step(opt_state, params, grads, mask)
+            return params, opt_state, loss, lr
+
+        if kpath > 1:
+            if wmode != "sampled":
+                raise ValueError("KPATH > 1 requires the sampled weight step "
+                                 "(no DENSE/UNIFIED/HYBRID)")
+            if (self.global_batch() // jax.process_count()) % kpath != 0:
+                raise ValueError(
+                    f"per-process batch {self.global_batch() // jax.process_count()}"
+                    f" not divisible by KPATH={kpath}")
+            return jax.jit(step_kpath, donate_argnums=(0, 1))
         return jax.jit(step, donate_argnums=(0, 1))
 
     def make_arch_step(self, net: NetSearch, alpha_optim: WarmupAdam):
