@@ -106,6 +106,37 @@ def test_recall_metrics_known_ranks():
     assert s["i2t_r5"] == 100.0
 
 
+def test_recall_metrics_matches_argsort_loop_oracle():
+    """The vectorized double-argsort ranks equal the straightforward
+    per-row/per-column argsort loop (the reference algorithm,
+    train_itm.py:506-546) on random continuous scores."""
+    rng = np.random.RandomState(11)
+    m = rng.randn(23, 115).astype(np.float32)
+
+    npts = m.shape[0]
+    ranks_i = np.zeros(npts)
+    for i in range(npts):
+        order = np.argsort(m[i])[::-1]
+        ranks_i[i] = np.where((order >= 5 * i) & (order < 5 * i + 5))[0][0]
+    ranks_c = np.zeros(5 * npts)
+    tm = m.T
+    for c in range(5 * npts):
+        order = np.argsort(tm[c])[::-1]
+        ranks_c[c] = np.where(order == c // 5)[0][0]
+
+    def stats(r):
+        return {"r1": 100.0 * np.mean(r < 1), "r5": 100.0 * np.mean(r < 5),
+                "r10": 100.0 * np.mean(r < 10),
+                "medr": float(np.floor(np.median(r)) + 1),
+                "meanr": float(r.mean() + 1)}
+
+    got = recall_metrics(m)
+    want_i, want_c = stats(ranks_i), stats(ranks_c)
+    for k in ("r1", "r5", "r10", "medr", "meanr"):
+        assert got[f"i2t_{k}"] == pytest.approx(want_i[k]), k
+        assert got[f"t2i_{k}"] == pytest.approx(want_c[k]), k
+
+
 @pytest.fixture(scope="module")
 def itm_setup():
     cfg = tiny_cfg()

@@ -140,6 +140,58 @@ def test_rel_fusion_gradients_match_reference():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("interpret,dropout,train", [
+    (True, 0.0, False), (True, 0.0, True),
+    (True, 0.3, False), (True, 0.3, True),
+    (False, 0.0, False), (False, 0.3, True)])
+def test_dispatch_predicates_agree(interpret, dropout, train):
+    """rsa_fusion_active (no shapes in hand) must agree with
+    try_fused_attention's actual dispatch for every backend/dropout
+    combination — both derive from backend_supports_fusion, and this pins
+    that contract (a drift means the caller skips the log-bias
+    materialization while the kernel declines, losing the checkpointed
+    fallback)."""
+    from mmnas_tpu.ops import attention
+    PA.INTERPRET = interpret  # autouse fixture restores
+    q, k, v, mask, raw, w1, b1, wrw, wrb = make_rel_inputs(L=8, D=8)
+    attention.use_pallas(True)
+    try:
+        active = attention.rsa_fusion_active(dropout, train)
+    finally:
+        attention.use_pallas(False)
+    eff_drop = dropout if train else 0.0
+    rng = jax.random.PRNGKey(0) if eff_drop > 0 else None
+    out = PA.try_fused_attention(q, k, v, mask, rel=(raw, w1, b1, wrw, wrb),
+                                 dropout_r=eff_drop, rng=rng)
+    assert active == (out is not None)
+
+
+def test_need_draw_false_zero_raw_cotangent():
+    """fused_attention(need_draw=False) must return an exactly-zero
+    cotangent for the raw geometry tensor while every other gradient still
+    matches jnp autodiff through the materialized chain with
+    stop_gradient(raw) — the production contract of _rel_mhatt_apply
+    (raw is input data)."""
+    q, k, v, mask, raw, w1, b1, wrw, wrb = make_rel_inputs(L=20, D=16)
+
+    def loss_pal(q, k, v, raw, w1, b1, wrw, wrb):
+        return jnp.sum(jnp.sin(PA.fused_attention(
+            q, k, v, mask, rel=(raw, w1, b1, wrw, wrb), need_draw=False)))
+
+    def loss_ref(q, k, v, raw, w1, b1, wrw, wrb):
+        return jnp.sum(jnp.sin(_rsa_ref(
+            q, k, v, mask, jax.lax.stop_gradient(raw), w1, b1, wrw, wrb)))
+
+    args = (q, k, v, raw, w1, b1, wrw, wrb)
+    gp = jax.grad(loss_pal, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    assert not np.any(np.asarray(gp[3])), "raw cotangent must be zero"
+    for name, a, b in zip(("dq", "dk", "dv", "draw", "dw1", "db1",
+                           "dwrw", "dwrb"), gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_rel_fusion_through_op_library():
     """rel_self_att op with a rel dict dispatches into the fused kernel and
     matches the jnp path (dict 'proj' branch)."""
