@@ -80,8 +80,10 @@ class SearchExecution:
     def on_epoch_start(self, net, params, alpha, dataset, epoch):
         """Per-epoch task hook; default no-op."""
 
-    def eval_metric(self, preds: np.ndarray, batches) -> Optional[float]:
-        scores = np.concatenate([b["ans"] for b in batches])[:len(preds)]
+    def eval_metric(self, preds: np.ndarray, ans) -> Optional[float]:
+        if ans is None:
+            return None
+        scores = ans[:len(preds)]
         return float(np.mean(scores[np.arange(len(preds)), preds]))
 
     def build_dataset(self):
@@ -346,11 +348,17 @@ class SearchExecution:
         if not preds:
             return None
         preds = np.concatenate(preds)
-        if eval_loader.last_batch_pad:
-            preds = preds[:len(preds) - eval_loader.last_batch_pad]
+        n_items = len(eval_loader.sampler.subset_indices)
+        preds = pmesh.eval_dataset_order(preds, eval_loader.batch_size,
+                                         n_items)
+        # labels came off the LOCAL loader: gather to the same order
+        # (collective — before the writer gate)
+        ans = (pmesh.allgather_host_order(
+            np.concatenate([b["ans"] for b in batches]), n_items)
+            if batches and "ans" in batches[0] else None)
         if not is_writer():
             return None
-        acc = self.eval_metric(preds, batches)
+        acc = self.eval_metric(preds, ans)
         if acc is not None:
             print(f"search eval accuracy = {100.0 * acc:.2f}")
         return acc

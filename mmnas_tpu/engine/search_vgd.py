@@ -67,8 +67,9 @@ class SearchExecution(SearchBase):
         if not hits:
             return None
         hits = np.concatenate(hits)
-        if eval_loader.last_batch_pad:
-            hits = hits[:len(hits) - eval_loader.last_batch_pad]
+        hits = pmesh.eval_dataset_order(
+            hits, eval_loader.batch_size,
+            len(eval_loader.sampler.subset_indices))
         if not is_writer() or len(hits) == 0:
             return None
         acc = float(hits.sum()) / len(hits)

@@ -160,8 +160,12 @@ class Execution(VqaExecution):
             sb = pmesh.shard_batch(self.mesh, batch)
             hits.append(np.asarray(eval_step(folded, sb)))
         hits = np.concatenate(hits) if hits else np.zeros((0,), np.int32)
-        if eval_loader.last_batch_pad:
-            hits = hits[:len(hits) - eval_loader.last_batch_pad]
+        # global replicated hits -> sampler order, all padding dropped
+        # (under multi-host the old last_batch_pad slice cut real entries:
+        # pads interleave through the rank-major global batches)
+        hits = pmesh.eval_dataset_order(
+            hits, eval_loader.batch_size,
+            len(eval_loader.sampler.subset_indices))
         if not is_writer() or len(hits) == 0:
             return None
         accuracy = 100.0 * float(hits.sum()) / len(hits)

@@ -215,10 +215,11 @@ class Execution:
              params=None, valid: bool = False):
         """Distributed eval + metric (train_vqa.py:352-491 semantics).
 
-        Single-controller: predictions come back in dataset order directly
-        (the reference's rank-interleaved all_gather + -1 padding of the
-        last partial batch, train_vqa.py:382-395, is subsumed by the mesh
-        gather; tail padding is sliced off via loader.last_batch_pad).
+        Single-controller: the replicated global predictions are reordered
+        into dataset order on the host (pmesh.eval_dataset_order inverts the
+        rank-major global batch + rank-strided sampler — the reference's
+        interleaved all_gather + -1 padding, train_vqa.py:382-395) and local
+        label slices are gathered across processes (allgather_host_order).
         """
         cfg = self.cfg
         dataset = eval_loader.dataset
@@ -238,8 +239,12 @@ class Execution:
             if host_ans is not None:
                 ans_scores.append(host_ans)
         preds = np.concatenate(preds) if preds else np.zeros((0,), np.int64)
-        if eval_loader.last_batch_pad:
-            preds = preds[:len(preds) - eval_loader.last_batch_pad]
+        # global replicated preds -> dataset order; local label slices ->
+        # the same order (collective, so it runs before the writer gate)
+        n_items = len(eval_loader.sampler.subset_indices)
+        preds = pmesh.eval_dataset_order(preds, eval_loader.batch_size, n_items)
+        gathered_ans = (pmesh.allgather_host_order(
+            np.concatenate(ans_scores), n_items) if ans_scores else None)
 
         if not is_writer():
             return None
@@ -259,8 +264,9 @@ class Execution:
         # skip when the dataset carries placeholder zero scores (real VQA
         # val/test items, data/vqa.py): the 0.00 it would print is bogus and
         # VQAEval below is the actual metric there
-        if ans_scores and getattr(dataset, "has_answer_scores", True):
-            scores = np.concatenate(ans_scores)[:len(preds)]
+        if gathered_ans is not None and getattr(dataset, "has_answer_scores",
+                                                True):
+            scores = gathered_ans[:len(preds)]
             # VQA accuracy == the soft score of the predicted answer
             accuracy = float(np.mean(scores[np.arange(len(preds)), preds]))
             msg = f"eval accuracy = {100.0 * accuracy:.2f}"

@@ -129,6 +129,41 @@ def place_opt_state(mesh: Mesh, opt_state, params):
     return out
 
 
+def eval_dataset_order(outs: np.ndarray, per_process_bs: int,
+                       n_items: int) -> np.ndarray:
+    """Reorder eval outputs collected from replicated GLOBAL batches into
+    sampler (dataset/subset) order and drop all padding.
+
+    Each global batch is rank-MAJOR — shard_batch assembles process-local
+    slices in jax.devices() order, i.e. concat over processes — while the
+    sampler deals positions rank-STRIDED (pos = k * process_count + rank,
+    data/sampler.py:49; reference sampler.py:44). Inverting both is the
+    single-controller equivalent of the reference's interleaved all_gather
+    reassembly (train_vqa.py:382-395). Truncating to n_items
+    (= len(sampler.subset_indices)) removes both the sampler divisibility
+    pad and the loader's pad_to_full cycling: every padded entry has
+    per-rank position k >= num_samples, hence sampler pos >= n_items."""
+    pc = jax.process_count()
+    nb = outs.shape[0] // (per_process_bs * pc)
+    out = outs.reshape((nb, pc, per_process_bs) + outs.shape[1:])
+    out = out.swapaxes(1, 2).reshape((-1,) + outs.shape[1:])
+    return out[:n_items]
+
+
+def allgather_host_order(local: np.ndarray, n_items: int) -> np.ndarray:
+    """Gather per-process HOST-side eval arrays (e.g. labels the local
+    loader yielded) into the same sampler order as eval_dataset_order.
+    Collective: every process must call it (the multi-host replacement for
+    reading labels straight off the local batch)."""
+    pc = jax.process_count()
+    if pc > 1:
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(local)  # [pc, n_local, ...]
+        local = np.swapaxes(gathered, 0, 1).reshape(
+            (-1,) + gathered.shape[2:])
+    return local[:n_items]
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -72,6 +72,61 @@ def test_two_process_train_step_real():
     assert slosses[0] == slosses[1], f"search losses diverged: {slosses}"
 
 
+def test_two_process_full_loop_with_resume():
+    """Loop parity, not just step parity: 2 real processes run the WHOLE
+    VQA engine loop (2 train epochs -> per-epoch eval -> rank-0 per-epoch
+    checkpoint), then resume from the rank-0 epoch-1 checkpoint and retrain
+    the final epoch. Per-epoch losses and eval accuracies must agree across
+    processes, and the resumed run's final params must be bit-identical to
+    the full run's (the reference's whole train_vqa.py:226-341 loop runs
+    under DDP with per-epoch torch.save + --RESUME)."""
+    import tempfile
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_loop_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    with tempfile.TemporaryDirectory() as workdir:
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            for pid in range(2)]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    def grab(pattern):
+        got = {}
+        for out in outs:
+            m = re.search(pattern, out)
+            assert m, f"missing {pattern!r} in:\n{out[-2000:]}"
+            got[int(m.group(1))] = m.groups()[1:]
+        assert set(got) == {0, 1}
+        return got
+
+    hist = grab(r"MHHIST (\d) (\S+) (\S+)")
+    assert hist[0] == hist[1], f"epoch losses diverged: {hist}"
+    assert all(np.isfinite(float(v)) for v in hist[0])
+    accs = grab(r"MHACC (\d) (\S+) (\S+)")
+    # the metric is writer-gated (rank0 computes, others get None -> -1);
+    # the collectives inside eval() still ran on both processes
+    assert all(0.0 <= float(v) <= 1.0 for v in accs[0]), accs
+    assert all(float(v) == -1.0 for v in accs[1]), accs
+    full = grab(r"MHDIGEST (\d) full (\S+)")
+    assert full[0] == full[1], "full-run params diverged across processes"
+    res = grab(r"MHRESUME (\d) (\S+)")
+    assert res[0] == res[1], f"resumed epoch losses diverged: {res}"
+    assert float(res[0][0]) == float(hist[0][1]), (
+        "resumed epoch-2 loss must equal the full run's epoch-2 loss")
+    rdig = grab(r"MHDIGEST (\d) resume (\S+)")
+    assert rdig[0] == rdig[1] == full[0], (
+        "resume from the rank-0 checkpoint must reproduce the full run's "
+        f"final params bit-for-bit: full={full} resume={rdig}")
+
+
 def test_fake_process_count_loader_layout(monkeypatch):
     """With process_count=2, each process's loader must carry exactly half
     the global batch, rank-strided and disjoint (reference sampler
