@@ -22,6 +22,18 @@ trivial bias):
 Usage: python tools/make_rehearsal_data.py --out ./data_rehearsal
 Then:  python tools/make_glove_cache.py --task vqa --data_root ./data_rehearsal --stub
        python tools/rehearsal.py --data_root ./data_rehearsal
+
+Tiers (--tier):
+  small  (default) ~1k examples, clean planted signal — metrics saturate at
+         100.0; proves plumbing (ceiling effects are the point).
+  scaled ~10k examples with LABEL NOISE at a known rate eps: each corrupted
+         example's label is decoupled from the planted rule, so the
+         Bayes-optimal metric is ~(1-eps)*100 — the run must land in a
+         KNOWN (floor, ceiling) band instead of a ceiling, exposing
+         learning-dynamics bugs that 100.0-on-1k cannot (the round-2 ITM
+         lr-collapse was only visible because its 100.0 was hard to reach).
+         Writes <out>/rehearsal_meta.json with the analytic floor/ceiling
+         per task; tools/rehearsal.py copies it into the evidence file.
 """
 
 from __future__ import annotations
@@ -51,7 +63,8 @@ ANSWERS = ["red", "blue", "green", "yellow", "purple", "orange",
            "black", "white", "pink", "brown", "gray", "cyan"]
 
 
-def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048):
+def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048,
+            n_kw=40, noise=0.0):
     anno = os.path.join(root, "vqa", "annotations")
     os.makedirs(anno, exist_ok=True)
     img_ids = {"train": [], "val": []}
@@ -68,12 +81,20 @@ def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048):
     os.makedirs(os.path.join(root, "vqa", "bua-r101-max100", "test2015"),
                 exist_ok=True)
 
-    n_kw = 40  # 40 keywords -> 12 answers: each answer ~83x in train
+    # n_kw keywords -> 12 answers: each answer >8x in train (vocab filter)
+    corrupted = {"train": 0, "val": 0}
+
     def make(split, n, qid0):
         qs, an = [], []
         for i in range(n):
             kw = (i + (17 if split == "val" else 0)) % n_kw
             ans = ANSWERS[kw % len(ANSWERS)]
+            if noise and rng.rand() < noise:
+                # label noise: a DIFFERENT answer, all 10 annotators agree
+                # on it -> Bayes ceiling = (1-noise)*100 on val
+                ans = ANSWERS[(kw + 1 + rng.randint(len(ANSWERS) - 1))
+                              % len(ANSWERS)]
+                corrupted[split] += 1
             qs.append({"question_id": qid0 + i,
                        "image_id": img_ids[split][i % len(img_ids[split])],
                        "question": f"what color is the object called kw{kw} ?"})
@@ -102,9 +123,11 @@ def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048):
             json.dump(payload, f)
     print(f"vqa: {n_train} train / {n_val} val questions, "
           f"{len(img_ids['train'])}+{len(img_ids['val'])} images")
+    return {"val_noise_realized": corrupted["val"] / max(1, n_val)}
 
 
-def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048):
+def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048,
+            noise=0.0):
     fdir = os.path.join(root, "vgd", "bua-r101-fix100")
     rdir = os.path.join(root, "vgd", "refcoco")
     os.makedirs(fdir, exist_ok=True)
@@ -119,19 +142,29 @@ def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048):
         _write_npz(os.path.join(fdir, f"COCO_train2014_{iid:012d}.jpg.npz"),
                    feats, bbox, 480, 640)
 
-    def make(n, seed_off):
+    realized = {}
+
+    def make(n, seed_off, split="train"):
         # eval splits REUSE train (image, proposal) combinations: the
         # rehearsal validates the pipeline by overfit-then-measure, and at
         # 1k scale a 35M-param net memorizes pairs instead of learning the
         # planted rule — held-out combos would measure generalization the
         # rehearsal cannot claim (same reasoning as VQA's shared keywords)
-        refs = []
+        refs, bad = [], 0
         for i in range(n):
             ii = (i * 13 + seed_off) % n_train
             iid = 42000 + ii % n_imgs
             j = (ii * 7) % min(19, k)  # 19 coprime to n_imgs: ~all of the
                                        # (image, proposal) combos distinct
-            b = boxes_by_img[iid][j]
+            jb = j
+            if noise and rng.rand() < noise:
+                # label noise: the gt box is a DIFFERENT random proposal —
+                # following the planted rule (pick the query's proposal)
+                # misses unless the two boxes overlap >=0.5 by chance, so
+                # the Bayes ceiling ~ (1-noise)*100 + a small IoU-chance term
+                jb = (j + 1 + rng.randint(k - 1)) % k
+                bad += 1
+            b = boxes_by_img[iid][jb]
             refs.append({
                 "tokens": ["find", "box", f"idx{j}"],
                 "image_id": iid, "split": "train",
@@ -140,16 +173,18 @@ def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048):
                          float(b[2] - b[0]), float(b[3] - b[1])],
                 "name": "thing", "height": 480, "width": 640,
                 "file_name": f"COCO_train2014_{iid:012d}_1.jpg"})
+        realized[f"{split}_noise_realized"] = bad / max(1, n)
         return refs
 
     for split, n, off in (("train", n_train, 0), ("val", n_eval, 3),
                           ("testA", n_eval, 5), ("testB", n_eval, 11)):
         with open(os.path.join(rdir, f"{split}.json"), "w") as f:
-            json.dump(make(n, off), f)
+            json.dump(make(n, off, split), f)
     print(f"vgd: {n_train} train / {n_eval} eval refs, {n_imgs} images")
+    return realized
 
 
-def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
+def gen_itm(root, rng, n_imgs=128, k=36, feat=2048, noise=0.0):
     # n_imgs=128 exactly fills the per-image signature block
     # (1024 + 128*8 = 2048 channels) and gives 640 train pairs
     # (10 steps/epoch at BS 64) with 19-image dev/test splits
@@ -164,6 +199,7 @@ def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
     # overfit-then-measure (see the VGD comment above)
     ids = {s: [] for s in ("train", "dev", "test")}
     capl = {s: [] for s in ("train", "dev", "test")}
+    cap_bad = {s: 0 for s in ("train", "dev", "test")}
     n_groups = 10
     # the per-image fine block spans channels [1024, 1024 + n_imgs*8); past
     # that, numpy slice-clamping would silently write NOTHING and the
@@ -196,8 +232,21 @@ def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
             for c in range(5):
                 # group + per-image words on the text side, each mentioned
                 # twice to strengthen the LSTM's carry
+                si = i
+                if noise and rng.rand() < noise:
+                    cap_bad[s] += 1
+                    # label noise: the caption names a GROUP-MATE's fine
+                    # signature (coarse grp word stays right) — the caption
+                    # retrieves the wrong image under the planted rule, so
+                    # the t2i R@1 Bayes ceiling ~ (1-noise)*100. i2t is
+                    # barely affected (min rank over 5 captions: P(all 5
+                    # corrupted) = noise^5), so t2i is the non-ceiling
+                    # metric of this tier.
+                    mates = [j for j in range(g, n_imgs, n_groups)
+                             if j != i]
+                    si = mates[rng.randint(len(mates))]
                 capl[s].append(f"a {filler[c]} grp{g} photo grp{g} of "
-                               f"thing sig{i} here sig{i}")
+                               f"thing sig{si} here sig{si}")
                 ids[s].append(str(i))
     for s in ("train", "dev", "test"):
         with open(os.path.join(pre, f"{s}_caps.txt"), "w") as f:
@@ -208,19 +257,82 @@ def gen_itm(root, rng, n_imgs=128, k=36, feat=2048):
         json.dump({"images": images}, f)
     print(f"itm: {n_imgs} images x5 captions "
           f"({len(capl['train'])}/{len(capl['dev'])}/{len(capl['test'])})")
+    return {f"{s}_caption_noise_realized": cap_bad[s] / max(1, len(capl[s]))
+            for s in ("train", "dev", "test")}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="./data_rehearsal")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--tier", default="small", choices=["small", "scaled"])
+    p.add_argument("--noise", type=float, default=0.15,
+                   help="label-noise rate for --tier scaled (ITM uses "
+                        "min(2*noise, 0.5) per caption; i2t takes the "
+                        "min rank over 5 captions so per-caption noise "
+                        "barely moves it)")
     args = p.parse_args()
     rng = np.random.RandomState(args.seed)
-    gen_vqa(args.out, rng)
-    gen_vgd(args.out, rng)
-    gen_itm(args.out, rng)
-    print(f"rehearsal data at {args.out}; now run make_glove_cache.py "
-          f"--stub for each task")
+    if args.tier == "small":
+        gen_vqa(args.out, rng)
+        gen_vgd(args.out, rng)
+        gen_itm(args.out, rng)
+        meta = {"tier": "small", "noise": 0.0, "seed": args.seed,
+                "note": "clean planted signal; expected metrics ~100.0 "
+                        "(ceiling effects prove plumbing)"}
+    else:
+        eps, itm_eps = args.noise, min(2 * args.noise, 0.5)
+        r_vqa = gen_vqa(args.out, rng, n_train=10000, n_val=1500, n_imgs=200,
+                        n_kw=120, noise=eps)
+        r_vgd = gen_vgd(args.out, rng, n_train=10000, n_eval=1000,
+                        n_imgs=200, noise=eps)
+        r_itm = gen_itm(args.out, rng, noise=itm_eps)
+        meta = {
+            "tier": "scaled", "noise": eps, "itm_caption_noise": itm_eps,
+            "seed": args.seed,
+            "realized": {**r_vqa, **{f"vgd_{k}": v for k, v in r_vgd.items()},
+                         **{f"itm_{k}": v for k, v in r_itm.items()}},
+            "bands": {
+                # floor = degenerate predictor; ceiling = Bayes-optimal
+                # rule-follower under the planted label noise
+                "vqa_overall": {
+                    "floor": round(100.0 / len(ANSWERS), 2),
+                    "ceiling": round(
+                        100.0 * (1 - r_vqa["val_noise_realized"]), 2),
+                    "why": "floor: constant most-frequent answer "
+                           "(12 uniform answers); ceiling: corrupted "
+                           "labels never match the keyword rule "
+                           "(realized val rate)"},
+                "vgd_acc_iou0.5": {
+                    "floor": 5.0,
+                    "ceiling": {
+                        s: round(100.0 * (
+                            1 - r_vgd[f"{s}_noise_realized"]), 2)
+                        for s in ("val", "testA", "testB")},
+                    "why": "floor: random proposal of k=20 (+ chance "
+                           "overlap); ceiling: noisy refs point at a "
+                           "different proposal (+ small IoU-chance term; "
+                           "realized per-split rates)"},
+                "itm_t2i_r1": {
+                    # eval runs on the test split: images in
+                    # [15%, 30%) of n_imgs=128 -> 19 images
+                    "floor": round(100.0 / (int(128 * 0.30)
+                                            - int(128 * 0.15)), 2),
+                    "ceiling": round(100.0 * (
+                        1 - r_itm["test_caption_noise_realized"]), 2),
+                    "why": "floor: 1 relevant of the 19 test images; "
+                           "ceiling: corrupted captions retrieve a "
+                           "group-mate (realized test rate)"},
+                "itm_i2t_r1": {
+                    "floor": None, "ceiling": None,
+                    "why": "NOT a band metric: min rank over 5 captions, "
+                           "P(all corrupted)=noise^5 ~ 0"},
+            }}
+    with open(os.path.join(args.out, "rehearsal_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+        f.write("\n")
+    print(f"rehearsal data at {args.out} (tier={args.tier}); now run "
+          f"make_glove_cache.py --stub for each task")
 
 
 if __name__ == "__main__":

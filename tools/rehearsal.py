@@ -370,6 +370,16 @@ def main():
     tasks = (["vqa", "vgd", "itm"] if args.task == "all"
              else [args.task])
     os.makedirs(EVIDENCE_DIR, exist_ok=True)
+    # data tier metadata (make_rehearsal_data.py --tier): embedded in the
+    # evidence and used to suffix the file so scaled (non-ceiling band)
+    # results never overwrite the small-tier plumbing evidence
+    meta, tag = None, ""
+    meta_path = os.path.join(args.data_root, "rehearsal_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("tier", "small") != "small":
+            tag = "_" + meta["tier"]
     for task in tasks:
         t0 = time.time()
         kw = {}
@@ -387,6 +397,8 @@ def main():
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
+        if meta is not None:
+            result["data_tier"] = meta
         import jax
         result["provenance"] = {
             "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -395,7 +407,7 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         }
-        out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}.json")
+        out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
             f.write("\n")
