@@ -317,7 +317,8 @@ def main():
         "env_overrides": knobs,
         "bench_steps": BENCH_STEPS, "batch": BATCH, "dtype": BENCH_DTYPE,
     }
-    suffix = "_".join(sorted(knobs)) if knobs else "default"
+    suffix = ("_".join(f"{k.lower()}{knobs[k]}" for k in sorted(knobs))
+              if knobs else "default")
     with open(os.path.join(ev_dir, f"bench_{suffix}.json"), "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")

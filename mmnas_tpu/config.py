@@ -98,6 +98,18 @@ class Cfg:
     ITM_DOUBLE_POS: bool = True       # reference BCE_Loss counts loss_pos
                                       # twice (itm_loss.py:22) — kept for
                                       # parity, flag to disable
+    TEXT_ENC_BLOCK: int = 0           # captions per resident encoded-text
+                                      # block for ITM mining/eval sweeps
+                                      # (0 = whole corpus; set ~16384 at
+                                      # Flickr30K train scale where the
+                                      # full table exceeds HBM)
+    EVAL_PAIRS: int = 0               # (image, caption) pairs per jitted
+                                      # eval dispatch (0 = legacy
+                                      # EVAL_BATCH_SIZE*2*n_shards); large
+                                      # tiles amortize the per-dispatch
+                                      # constant at real corpus sizes
+    TEXT_ENC_CHUNK: int = 256         # captions per text-encoder dispatch
+                                      # in the mining/eval sweeps
 
     # genotype (fixed-arch runs)
     ARCH_PATH: str = "./arch/mcan.json"
@@ -317,6 +329,14 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                        choices=["vg_woref", "coco_mrcn"], type=str)
     if task == "itm":
         p.add_argument("--DATASET", dest="DATASET", default="flickr", type=str)
+        p.add_argument("--TEXT_ENC_BLOCK", dest="TEXT_ENC_BLOCK", default=0,
+                       type=int,
+                       help="captions per resident encoded-text block in "
+                            "mining/eval sweeps (0 = whole corpus; use "
+                            "~16384 at Flickr30K train scale)")
+        p.add_argument("--EVAL_PAIRS", dest="EVAL_PAIRS", default=0, type=int,
+                       help="pairs per jitted eval dispatch (0 = "
+                            "EVAL_BATCH_SIZE*2*n_shards)")
     return p
 
 

@@ -56,31 +56,47 @@ def sharded_pair_call(mesh, n_shards, fn, img_idx, cap_idx):
     return np.asarray(fn(ii, cc))[:n]
 
 
-def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
-               rng, R, H, group):
-    """One hard-negative mining sweep (train_itm.py:299-363): for each of
-    n_items, score R random candidates — resampling any that collide with
-    the item's own image/captions (train_itm loader :44-48) — and keep the
-    top H by score. per_img=True: items are images, candidates captions;
-    False: items are captions, candidates images. score_pairs(img_idx,
-    cap_idx) -> host scores. Shared by the train engine and search_itm."""
-    out = np.zeros((n_items, H), np.int64)
+def draw_candidates(n_items, n_cand_pool, per_img, caps_per_img, rng, R,
+                    group):
+    """Random mining candidates [n_items, R], resampling any that collide
+    with the item's own image/captions (train_itm loader :44-48). Drawn in
+    the same group-chunk order as the scoring loop so the blocked and
+    unblocked sweeps consume one identical rng stream (parity-tested)."""
+    cand = np.zeros((n_items, R), np.int64)
     for start in range(0, n_items, group):
         idxs = np.arange(start, min(start + group, n_items))
-        g = len(idxs)
 
         def forbidden(c):
             if per_img:
                 return (c // caps_per_img) == idxs[:, None]
             return c == (idxs[:, None] // caps_per_img)
 
-        cand = rng.randint(0, n_cand_pool, (g, R))
-        bad = forbidden(cand)
+        c = rng.randint(0, n_cand_pool, (len(idxs), R))
+        bad = forbidden(c)
         while bad.any():
-            cand[bad] = rng.randint(0, n_cand_pool, int(bad.sum()))
-            bad = forbidden(cand)
+            c[bad] = rng.randint(0, n_cand_pool, int(bad.sum()))
+            bad = forbidden(c)
+        cand[idxs] = c
+    return cand
+
+
+def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
+               rng, R, H, group):
+    """One hard-negative mining sweep (train_itm.py:299-363): for each of
+    n_items, score R random candidates and keep the top H by score.
+    per_img=True: items are images, candidates captions; False: items are
+    captions, candidates images. score_pairs(img_idx, cap_idx) -> host
+    scores. Shared by the train engine and search_itm. Requires the whole
+    encoded-caption table on device; see mine_sweep_blocked for the
+    streamed variant at corpora where it does not fit."""
+    cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
+                           rng, R, group)
+    out = np.zeros((n_items, H), np.int64)
+    for start in range(0, n_items, group):
+        idxs = np.arange(start, min(start + group, n_items))
+        g = len(idxs)
         rep = np.repeat(idxs, R)
-        flat = cand.reshape(-1)
+        flat = cand[idxs].reshape(-1)
         pad = group * R - g * R  # keep one compiled shape per sweep
         if pad:
             rep = np.pad(rep, (0, pad))
@@ -88,7 +104,71 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
         ii, cc = (rep, flat) if per_img else (flat, rep)
         s = np.asarray(score_pairs(ii, cc))[:g * R].reshape(g, R)
         order = np.argsort(-s, axis=-1)[:, :H]
-        out[idxs] = np.take_along_axis(cand, order, axis=1)
+        out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
+    return out
+
+
+def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
+                       n_cand_pool, per_img, caps_per_img, rng, R, H, group):
+    """Caption-block-streamed mining sweep for reference-scale corpora
+    (Flickr30K train: 145k captions -> a full encoded-text table is ~15GB
+    bf16 and cannot be HBM-resident next to the image corpus; the
+    reference never hits this because it re-runs the full trunk per pair,
+    train_itm.py:489-498). Only `block` captions are encoded at a time:
+
+      per_img=True  (candidates are captions): candidates are drawn up
+        front, bucketed by caption block; each block is encoded once and
+        its pairs scored; top-H selection happens at the end.
+      per_img=False (ITEMS are captions): items stream in blocks; each
+        block is encoded and its R image-candidates scored immediately.
+
+    score_pairs_win(text_enc_block, img_idx, cap_idx_rel) -> host scores
+    with cap_idx_rel relative to the window; encode_window(start) -> the
+    encoded block for captions [start, start+block). Candidates, scores
+    and top-H selections are bit-identical to mine_sweep for the same rng
+    (shared draw_candidates, chunk-ordered stream; parity-tested)."""
+    cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
+                           rng, R, group)
+    out = np.zeros((n_items, H), np.int64)
+    chunk = group * R
+    if per_img:
+        scores = np.full(n_items * R, -np.inf, np.float32)
+        flat_item = np.repeat(np.arange(n_items), R)
+        flat_cand = cand.reshape(-1)
+        for bstart in range(0, n_cand_pool, block):
+            sel = np.where((flat_cand >= bstart)
+                           & (flat_cand < bstart + block))[0]
+            if not len(sel):
+                continue
+            te = encode_window(bstart)
+            for s0 in range(0, len(sel), chunk):
+                pos = sel[s0:s0 + chunk]
+                ii = flat_item[pos]
+                cc = flat_cand[pos] - bstart
+                pad = chunk - len(pos)
+                if pad:
+                    ii = np.pad(ii, (0, pad))
+                    cc = np.pad(cc, (0, pad))
+                scores[pos] = np.asarray(
+                    score_pairs_win(te, ii, cc))[:len(pos)]
+        scores = scores.reshape(n_items, R)
+        order = np.argsort(-scores, axis=-1)[:, :H]
+        return np.take_along_axis(cand, order, axis=1)
+    for bstart in range(0, n_items, block):
+        bend = min(bstart + block, n_items)
+        te = encode_window(bstart)
+        for start in range(bstart, bend, group):
+            idxs = np.arange(start, min(start + group, bend))
+            g = len(idxs)
+            rep = np.repeat(idxs - bstart, R)  # caption idx rel to window
+            flat = cand[idxs].reshape(-1)      # image candidates
+            pad = chunk - g * R
+            if pad:
+                rep = np.pad(rep, (0, pad))
+                flat = np.pad(flat, (0, pad))
+            s = np.asarray(score_pairs_win(te, flat, rep))[:g * R]
+            order = np.argsort(-s.reshape(g, R), axis=-1)[:, :H]
+            out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
     return out
 
 
@@ -178,14 +258,15 @@ class Execution(VqaExecution):
         return jax.jit(score, in_shardings=(repl, repl, repl, data, data),
                        out_shardings=repl)
 
-    def encode_corpus_text(self, net: NetFull, params, corpus,
-                           chunk: int = 256):
-        """Jitted chunked text-encoder sweep over all captions ->
-        {'x': [n_caps, T, H], 'mask': [n_caps, 1, 1, T]} on device."""
+    def encode_text_window(self, net: NetFull, params, corpus, start: int,
+                           count: int, chunk: int = 0):
+        """Jitted chunked text-encoder sweep over captions
+        [start, start+count) -> {'x': [count, T, H], 'mask':
+        [count, 1, 1, T]} on device (count-padded past the corpus end so
+        every window of one size shares a compiled shape)."""
+        chunk = chunk or self.cfg.TEXT_ENC_CHUNK
         caps = corpus["caps"]
-        n = caps.shape[0]
-        T = caps.shape[1]
-
+        n, T = caps.shape
         repl = pmesh.replicated_sharding(self.mesh)
 
         def build(net):
@@ -197,17 +278,23 @@ class Execution(VqaExecution):
         enc = self.cached_step("text_enc", net, build)
 
         xs, ms = [], []
-        for start in range(0, n, chunk):
-            part = caps[start:start + chunk]
+        end = min(start + count, n)
+        for s0 in range(start, start + count, chunk):
+            part = caps[s0:min(s0 + chunk, end)]
             pad = chunk - part.shape[0]
             if pad:
                 part = jnp.pad(part, ((0, pad), (0, 0)))
             x, m = enc(params, part)
-            if pad:
-                x, m = x[:-pad], m[:-pad]
             xs.append(x)
             ms.append(m)
-        return {"x": jnp.concatenate(xs), "mask": jnp.concatenate(ms)}
+        return {"x": jnp.concatenate(xs)[:count],
+                "mask": jnp.concatenate(ms)[:count]}
+
+    def encode_corpus_text(self, net: NetFull, params, corpus,
+                           chunk: int = 0):
+        """Whole-corpus encoded-text table (one window spanning it)."""
+        return self.encode_text_window(net, params, corpus, 0,
+                                       int(corpus["caps"].shape[0]), chunk)
 
     def device_corpus(self, dataset) -> Dict[str, jnp.ndarray]:
         # cached per dataset: features are immutable, and per-epoch eval
@@ -220,11 +307,16 @@ class Execution(VqaExecution):
         if key not in cache:
             caps, _ = dataset.get_all_caps()
             frcn, bbox_feat, rel = dataset.get_all_imgs()
+            # under bf16 compute the scorer casts gathered inputs to bf16
+            # anyway (cast_for_compute), so storing the float corpus at the
+            # compute dtype is numerically identical and HALVES residency
+            # (Flickr30K train: 29k imgs x 36 x 2048 = 8.5GB f32 -> 4.3GB)
+            ft = jnp.bfloat16 if self.cfg.DTYPE == "bfloat16" else jnp.float32
             cache[key] = pmesh.replicate(self.mesh, {
                 "caps": jnp.asarray(caps),
-                "frcn_feat": jnp.asarray(frcn),
-                "bbox_feat": jnp.asarray(bbox_feat),
-                "rel_img": jnp.asarray(rel),
+                "frcn_feat": jnp.asarray(frcn, dtype=ft),
+                "bbox_feat": jnp.asarray(bbox_feat, dtype=ft),
+                "rel_img": jnp.asarray(rel, dtype=ft),
             })
         return cache[key]
 
@@ -240,18 +332,40 @@ class Execution(VqaExecution):
         R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)  # items per jitted scorer call
-        text_enc = self.encode_corpus_text(net, params, corpus)
+        block = cfg.TEXT_ENC_BLOCK
+        cpi = dataset.CAPS_PER_IMG
 
-        def score_pairs(ii, cc):
+        if not block or block >= n_caps:
+            text_enc = self.encode_corpus_text(net, params, corpus)
+
+            def score_pairs(ii, cc):
+                return sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, corpus, text_enc, a, b),
+                    ii, cc)
+
+            dataset.neg_caps_idx_tensor = mine_sweep(
+                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group)
+            dataset.neg_imgs_idx_tensor = mine_sweep(
+                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group)
+            return
+
+        # caption-block streaming: at Flickr30K train scale the full
+        # encoded-text table (~15GB bf16) cannot sit in HBM next to the
+        # image corpus; only `block` captions are encoded at a time
+        def encode_window(start):
+            return self.encode_text_window(net, params, corpus, start, block)
+
+        def score_win(te, ii, cc):
             return sharded_pair_call(
                 self.mesh, self.n_shards,
-                lambda a, b: scorer(params, corpus, text_enc, a, b), ii, cc)
+                lambda a, b: scorer(params, corpus, te, a, b), ii, cc)
 
-        dataset.neg_caps_idx_tensor = mine_sweep(
-            score_pairs, n_imgs, n_caps, True, dataset.CAPS_PER_IMG,
+        dataset.neg_caps_idx_tensor = mine_sweep_blocked(
+            score_win, encode_window, block, n_imgs, n_caps, True, cpi,
             rng, R, H, group)
-        dataset.neg_imgs_idx_tensor = mine_sweep(
-            score_pairs, n_caps, n_imgs, False, dataset.CAPS_PER_IMG,
+        dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
+            score_win, encode_window, block, n_caps, n_imgs, False, cpi,
             rng, R, H, group)
 
     # ----------------------------------------------------------------- train
@@ -339,29 +453,41 @@ class Execution(VqaExecution):
 
         scorer = self.cached_step("scorer", net, self.make_pair_scorer)
         corpus = self.device_corpus(dataset)
-        text_enc = self.encode_corpus_text(net, params, corpus)
         n_caps = len(dataset)
         n_imgs = n_caps // dataset.CAPS_PER_IMG
 
-        bs_pairs = cfg.EVAL_BATCH_SIZE * 2 * max(1, self.n_shards)
+        # pairs per dispatch: sized to amortize the per-dispatch constant
+        # (EVAL_PAIRS; the old EVAL_BATCH_SIZE*2*n_shards default was ~2k
+        # pairs -> hours of pure dispatch overhead at Flickr30K scale)
+        bs_pairs = cfg.EVAL_PAIRS or cfg.EVAL_BATCH_SIZE * 2 * max(
+            1, self.n_shards)
+        block = cfg.TEXT_ENC_BLOCK or n_caps
         score_mat = np.zeros((n_imgs, n_caps), np.float32)
-        pairs_i, pairs_c = np.meshgrid(np.arange(n_imgs), np.arange(n_caps),
-                                       indexing="ij")
-        pairs_i, pairs_c = pairs_i.reshape(-1), pairs_c.reshape(-1)
-        total = len(pairs_i)
-        for start in range(0, total, bs_pairs):
-            ii = pairs_i[start:start + bs_pairs]
-            cc = pairs_c[start:start + bs_pairs]
-            pad = bs_pairs - len(ii)
-            if pad:
-                ii = np.pad(ii, (0, pad))
-                cc = np.pad(cc, (0, pad))
-            s = sharded_pair_call(
-                self.mesh, self.n_shards,
-                lambda a, b: scorer(params, corpus, text_enc, a, b), ii, cc)
-            if pad:
-                s = s[:-pad]
-            score_mat.reshape(-1)[start:start + len(s)] = s
+        for bstart in range(0, n_caps, block):
+            bcount = min(block, n_caps - bstart)
+            text_enc = self.encode_text_window(net, params, corpus,
+                                               bstart, block)
+            # all images x this caption block, caption-major so the flat
+            # order matches score_mat[:, bstart:bstart+bcount].reshape(-1)
+            pairs_i, pairs_c = np.meshgrid(
+                np.arange(n_imgs), np.arange(bcount), indexing="ij")
+            pairs_i, pairs_c = pairs_i.reshape(-1), pairs_c.reshape(-1)
+            sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
+            for start in range(0, len(pairs_i), bs_pairs):
+                ii = pairs_i[start:start + bs_pairs]
+                cc = pairs_c[start:start + bs_pairs]
+                pad = bs_pairs - len(ii)
+                if pad:
+                    ii = np.pad(ii, (0, pad))
+                    cc = np.pad(cc, (0, pad))
+                s = sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, corpus, text_enc, a, b),
+                    ii, cc)
+                if pad:
+                    s = s[:-pad]
+                sub[start:start + len(s)] = s
+            score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
 
         if not is_writer():
             return None

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmnas_tpu.engine.itm import mine_sweep, recall_metrics, sharded_pair_call
+from mmnas_tpu.engine.itm import (
+    mine_sweep, mine_sweep_blocked, recall_metrics, sharded_pair_call,
+)
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
 from mmnas_tpu.models.supernet import NetSearch
 from mmnas_tpu.parallel import mesh as pmesh
@@ -97,9 +99,11 @@ class SearchExecution(SearchBase):
                        in_shardings=(repl, repl, repl, repl, repl, data, data),
                        out_shardings=repl)
 
-    def encode_corpus_text(self, net: NetSearch, params, alpha, idx, corpus,
-                           chunk: int = 256):
-        """Jitted chunked sampled-path text sweep over all captions."""
+    def encode_text_window(self, net: NetSearch, params, alpha, idx, corpus,
+                           start: int, count: int, chunk: int = 0):
+        """Jitted chunked sampled-path text sweep over captions
+        [start, start+count) (see engine/itm.py encode_text_window)."""
+        chunk = chunk or self.cfg.TEXT_ENC_CHUNK
         caps = corpus["caps"]
         n, T = caps.shape
         repl = pmesh.replicated_sharding(self.mesh)
@@ -113,24 +117,34 @@ class SearchExecution(SearchBase):
 
         enc = self.cached_step("text_enc", net, build)
         xs, ms = [], []
-        for start in range(0, n, chunk):
-            part = caps[start:start + chunk]
+        end = min(start + count, n)
+        for s0 in range(start, start + count, chunk):
+            part = caps[s0:min(s0 + chunk, end)]
             pad = chunk - part.shape[0]
             if pad:
                 part = jnp.pad(part, ((0, pad), (0, 0)))
             x, m = enc(params, alpha, idx, part)
-            if pad:
-                x, m = x[:-pad], m[:-pad]
             xs.append(x)
             ms.append(m)
-        return {"x": jnp.concatenate(xs), "mask": jnp.concatenate(ms)}
+        return {"x": jnp.concatenate(xs)[:count],
+                "mask": jnp.concatenate(ms)[:count]}
+
+    def encode_corpus_text(self, net: NetSearch, params, alpha, idx, corpus,
+                           chunk: int = 0):
+        """Whole-corpus encoded-text table (one window spanning it)."""
+        return self.encode_text_window(net, params, alpha, idx, corpus, 0,
+                                       int(corpus["caps"].shape[0]), chunk)
 
     def device_corpus(self, dataset):
         caps, _ = dataset.get_all_caps()
         frcn, bbox_feat, rel = dataset.get_all_imgs()
+        # stored at the compute dtype (see engine/itm.py device_corpus)
+        ft = jnp.bfloat16 if self.cfg.DTYPE == "bfloat16" else jnp.float32
         return pmesh.replicate(self.mesh, {
-            "caps": jnp.asarray(caps), "frcn_feat": jnp.asarray(frcn),
-            "bbox_feat": jnp.asarray(bbox_feat), "rel_img": jnp.asarray(rel)})
+            "caps": jnp.asarray(caps),
+            "frcn_feat": jnp.asarray(frcn, dtype=ft),
+            "bbox_feat": jnp.asarray(bbox_feat, dtype=ft),
+            "rel_img": jnp.asarray(rel, dtype=ft)})
 
     def on_epoch_start(self, net, params, alpha, dataset, epoch):
         """Hard-negative mining with a sampled path (search_itm.py:267-270)."""
@@ -145,27 +159,48 @@ class SearchExecution(SearchBase):
                                   self.device_corpus(dataset))
         scorer, corpus = self._mining_state
         idx = net.sample_indices(jax.random.PRNGKey(cfg.SEED * 7 + epoch), alpha)
-        text_enc = self.encode_corpus_text(net, params, alpha, idx, corpus)
 
         t0 = time.time()
         n_caps = len(dataset)
         n_imgs = n_caps // dataset.CAPS_PER_IMG
+        cpi = dataset.CAPS_PER_IMG
         R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)
+        block = cfg.TEXT_ENC_BLOCK
 
-        def score_pairs(ii, cc):
-            return sharded_pair_call(
-                self.mesh, self.n_shards,
-                lambda a, b: scorer(params, alpha, corpus, idx,
-                                    text_enc, a, b), ii, cc)
+        if not block or block >= n_caps:
+            text_enc = self.encode_corpus_text(net, params, alpha, idx,
+                                               corpus)
 
-        dataset.neg_caps_idx_tensor = mine_sweep(
-            score_pairs, n_imgs, n_caps, True, dataset.CAPS_PER_IMG,
-            rng, R, H, group)
-        dataset.neg_imgs_idx_tensor = mine_sweep(
-            score_pairs, n_caps, n_imgs, False, dataset.CAPS_PER_IMG,
-            rng, R, H, group)
+            def score_pairs(ii, cc):
+                return sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, alpha, corpus, idx,
+                                        text_enc, a, b), ii, cc)
+
+            dataset.neg_caps_idx_tensor = mine_sweep(
+                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group)
+            dataset.neg_imgs_idx_tensor = mine_sweep(
+                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group)
+        else:
+            # caption-block streaming at train scale (engine/itm.py)
+            def encode_window(start):
+                return self.encode_text_window(net, params, alpha, idx,
+                                               corpus, start, block)
+
+            def score_win(te, ii, cc):
+                return sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, alpha, corpus, idx,
+                                        te, a, b), ii, cc)
+
+            dataset.neg_caps_idx_tensor = mine_sweep_blocked(
+                score_win, encode_window, block, n_imgs, n_caps, True, cpi,
+                rng, R, H, group)
+            dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
+                score_win, encode_window, block, n_caps, n_imgs, False, cpi,
+                rng, R, H, group)
         if is_writer():
             print(f"search mining: {time.time() - t0:.1f}s")
 
@@ -179,26 +214,35 @@ class SearchExecution(SearchBase):
             self._eval_scorer = self.make_pair_scorer(net)
         corpus, scorer = self._eval_corpus, self._eval_scorer
         idx = net.chosen_indices(alpha)
-        text_enc = self.encode_corpus_text(net, params, alpha, idx, corpus)
 
         n_caps = len(dataset)
         n_imgs = n_caps // dataset.CAPS_PER_IMG
-        bs_pairs = cfg.EVAL_BATCH_SIZE * 2 * max(1, self.n_shards)
+        bs_pairs = cfg.EVAL_PAIRS or cfg.EVAL_BATCH_SIZE * 2 * max(
+            1, self.n_shards)
+        block = cfg.TEXT_ENC_BLOCK or n_caps
         score_mat = np.zeros((n_imgs, n_caps), np.float32)
-        pi, pc = np.meshgrid(np.arange(n_imgs), np.arange(n_caps), indexing="ij")
-        pi, pc = pi.reshape(-1), pc.reshape(-1)
-        for start in range(0, len(pi), bs_pairs):
-            ii, cc = pi[start:start + bs_pairs], pc[start:start + bs_pairs]
-            pad = bs_pairs - len(ii)
-            if pad:
-                ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
-            s = sharded_pair_call(
-                self.mesh, self.n_shards,
-                lambda a, b: scorer(params, alpha, corpus, idx, text_enc,
-                                    a, b), ii, cc)
-            if pad:
-                s = s[:-pad]
-            score_mat.reshape(-1)[start:start + len(s)] = s
+        for bstart in range(0, n_caps, block):
+            bcount = min(block, n_caps - bstart)
+            text_enc = self.encode_text_window(net, params, alpha, idx,
+                                               corpus, bstart, block)
+            pi, pc = np.meshgrid(np.arange(n_imgs), np.arange(bcount),
+                                 indexing="ij")
+            pi, pc = pi.reshape(-1), pc.reshape(-1)
+            sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
+            for start in range(0, len(pi), bs_pairs):
+                ii = pi[start:start + bs_pairs]
+                cc = pc[start:start + bs_pairs]
+                pad = bs_pairs - len(ii)
+                if pad:
+                    ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
+                s = sharded_pair_call(
+                    self.mesh, self.n_shards,
+                    lambda a, b: scorer(params, alpha, corpus, idx, text_enc,
+                                        a, b), ii, cc)
+                if pad:
+                    s = s[:-pad]
+                sub[start:start + len(s)] = s
+            score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
         if not is_writer():
             return None
         stats = recall_metrics(score_mat)

@@ -177,6 +177,42 @@ def test_triplet_train_step_decreases_loss(itm_setup):
     assert losses[-1] < losses[0]
 
 
+def test_blocked_mining_matches_unblocked(itm_setup):
+    """TEXT_ENC_BLOCK caption streaming (the Flickr30K-train-scale path
+    where the full encoded-text table exceeds HBM) must produce
+    bit-identical hard-negative tensors to the resident-table sweep: shared
+    draw_candidates rng stream, same scorer math, same top-H ties."""
+    cfg, ex, ds, net, params = itm_setup
+    scorer = ex.cached_step("scorer", net, ex.make_pair_scorer)
+    corpus = ex.device_corpus(ds)
+
+    ex.cfg = cfg.replace(TEXT_ENC_BLOCK=0)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    ref_caps = ds.neg_caps_idx_tensor.copy()
+    ref_imgs = ds.neg_imgs_idx_tensor.copy()
+
+    ex.cfg = cfg.replace(TEXT_ENC_BLOCK=7)  # does not divide 20 captions
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    np.testing.assert_array_equal(ds.neg_caps_idx_tensor, ref_caps)
+    np.testing.assert_array_equal(ds.neg_imgs_idx_tensor, ref_imgs)
+    ex.cfg = cfg
+
+
+def test_blocked_eval_matches_unblocked(itm_setup):
+    """Caption-block-streamed eval with a custom EVAL_PAIRS tile must
+    reproduce the legacy whole-table eval's R@K stats exactly."""
+    cfg, ex, ds, net, params = itm_setup
+    loader = ex.make_loader(ds, shuffle=False)
+    ref = ex.eval(loader, net=net, params=params)
+
+    ex2 = Execution(cfg.replace(TEXT_ENC_BLOCK=7, EVAL_PAIRS=16,
+                                SYNTH_SIZE=20))
+    got = ex2.eval(loader, net=net, params=params)
+    assert ref is not None and got is not None
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k]), k
+
+
 def test_split_trunk_equals_full_apply(itm_setup):
     """encode_text + apply_decoder must reproduce apply() exactly (the
     pair-scoring fast path reuses per-caption encoder outputs)."""
