@@ -22,6 +22,7 @@ Three TPU-native re-designs over the reference:
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Dict, Optional
 
 import jax
@@ -41,19 +42,34 @@ from mmnas_tpu.utils.itm_loss import bce_triplet_loss, margin_triplet_loss
 from mmnas_tpu.utils.logger import is_writer
 
 
-def sharded_pair_call(mesh, n_shards, fn, img_idx, cap_idx):
-    """Run a jitted pair scorer with the index arrays sharded over the
-    mesh's 'data' axis (pads to a multiple of n_shards). fn(ii, cc) must
-    be jitted with data-sharded index inputs; returns host scores [len]."""
-    n = len(img_idx)
-    pad = (-n) % max(1, n_shards)
+PIPELINE_DEPTH = 2  # scorer dispatches kept in flight during the corpus
+                    # sweeps: jax dispatch is async, so fetching tile i's
+                    # scores only after tile i+1 is enqueued overlaps the
+                    # host fetch (a ~60ms RPC on this image) and the
+                    # numpy top-H selection with the device's scoring of
+                    # the next tile instead of serializing with it
+
+
+def sharded_pair_call_async(mesh, n_shards, fn, img_idx, cap_idx):
+    """Dispatch a jitted pair scorer with the index arrays sharded over
+    the mesh's 'data' axis (pads to a multiple of n_shards) WITHOUT
+    blocking: returns the padded device scores array. np.asarray() it to
+    fetch — the sweeps below do so one tile late (PIPELINE_DEPTH)."""
+    pad = (-len(img_idx)) % max(1, n_shards)
     if pad:
         img_idx = np.pad(np.asarray(img_idx), (0, pad))
         cap_idx = np.pad(np.asarray(cap_idx), (0, pad))
     sh = pmesh.batch_sharding(mesh)
     ii = jax.device_put(jnp.asarray(img_idx), sh)
     cc = jax.device_put(jnp.asarray(cap_idx), sh)
-    return np.asarray(fn(ii, cc))[:n]
+    return fn(ii, cc)
+
+
+def sharded_pair_call(mesh, n_shards, fn, img_idx, cap_idx):
+    """Blocking sharded_pair_call_async: returns host scores [len]."""
+    n = len(img_idx)
+    return np.asarray(
+        sharded_pair_call_async(mesh, n_shards, fn, img_idx, cap_idx))[:n]
 
 
 def draw_candidates(n_items, n_cand_pool, per_img, caps_per_img, rng, R,
@@ -85,13 +101,22 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
     """One hard-negative mining sweep (train_itm.py:299-363): for each of
     n_items, score R random candidates and keep the top H by score.
     per_img=True: items are images, candidates captions; False: items are
-    captions, candidates images. score_pairs(img_idx, cap_idx) -> host
-    scores. Shared by the train engine and search_itm. Requires the whole
+    captions, candidates images. score_pairs(img_idx, cap_idx) -> device
+    scores (async; fetched here with a lag-PIPELINE_DEPTH pipeline).
+    Shared by the train engine and search_itm. Requires the whole
     encoded-caption table on device; see mine_sweep_blocked for the
     streamed variant at corpora where it does not fit."""
     cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
                            rng, R, group)
     out = np.zeros((n_items, H), np.int64)
+    pend = deque()
+
+    def drain():
+        idxs, g, dev = pend.popleft()
+        s = np.asarray(dev)[:g * R].reshape(g, R)
+        order = np.argsort(-s, axis=-1)[:, :H]
+        out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
+
     for start in range(0, n_items, group):
         idxs = np.arange(start, min(start + group, n_items))
         g = len(idxs)
@@ -102,9 +127,11 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
             rep = np.pad(rep, (0, pad))
             flat = np.pad(flat, (0, pad))
         ii, cc = (rep, flat) if per_img else (flat, rep)
-        s = np.asarray(score_pairs(ii, cc))[:g * R].reshape(g, R)
-        order = np.argsort(-s, axis=-1)[:, :H]
-        out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
+        pend.append((idxs, g, score_pairs(ii, cc)))
+        if len(pend) >= PIPELINE_DEPTH:
+            drain()
+    while pend:
+        drain()
     return out
 
 
@@ -122,19 +149,26 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
       per_img=False (ITEMS are captions): items stream in blocks; each
         block is encoded and its R image-candidates scored immediately.
 
-    score_pairs_win(text_enc_block, img_idx, cap_idx_rel) -> host scores
-    with cap_idx_rel relative to the window; encode_window(start) -> the
-    encoded block for captions [start, start+block). Candidates, scores
-    and top-H selections are bit-identical to mine_sweep for the same rng
-    (shared draw_candidates, chunk-ordered stream; parity-tested)."""
+    score_pairs_win(text_enc_block, img_idx, cap_idx_rel) -> device scores
+    (async, pipelined as in mine_sweep) with cap_idx_rel relative to the
+    window; encode_window(start) -> the encoded block for captions
+    [start, start+block). Candidates, scores and top-H selections are
+    bit-identical to mine_sweep for the same rng (shared draw_candidates,
+    chunk-ordered stream; parity-tested)."""
     cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
                            rng, R, group)
     out = np.zeros((n_items, H), np.int64)
     chunk = group * R
+    pend = deque()
     if per_img:
         scores = np.full(n_items * R, -np.inf, np.float32)
         flat_item = np.repeat(np.arange(n_items), R)
         flat_cand = cand.reshape(-1)
+
+        def drain():
+            pos, dev = pend.popleft()
+            scores[pos] = np.asarray(dev)[:len(pos)]
+
         for bstart in range(0, n_cand_pool, block):
             sel = np.where((flat_cand >= bstart)
                            & (flat_cand < bstart + block))[0]
@@ -149,11 +183,21 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
                 if pad:
                     ii = np.pad(ii, (0, pad))
                     cc = np.pad(cc, (0, pad))
-                scores[pos] = np.asarray(
-                    score_pairs_win(te, ii, cc))[:len(pos)]
+                pend.append((pos, score_pairs_win(te, ii, cc)))
+                if len(pend) >= PIPELINE_DEPTH:
+                    drain()
+        while pend:
+            drain()
         scores = scores.reshape(n_items, R)
         order = np.argsort(-scores, axis=-1)[:, :H]
         return np.take_along_axis(cand, order, axis=1)
+
+    def drain():
+        idxs, g, dev = pend.popleft()
+        s = np.asarray(dev)[:g * R]
+        order = np.argsort(-s.reshape(g, R), axis=-1)[:, :H]
+        out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
+
     for bstart in range(0, n_items, block):
         bend = min(bstart + block, n_items)
         te = encode_window(bstart)
@@ -166,9 +210,11 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
             if pad:
                 rep = np.pad(rep, (0, pad))
                 flat = np.pad(flat, (0, pad))
-            s = np.asarray(score_pairs_win(te, flat, rep))[:g * R]
-            order = np.argsort(-s.reshape(g, R), axis=-1)[:, :H]
-            out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
+            pend.append((idxs, g, score_pairs_win(te, flat, rep)))
+            if len(pend) >= PIPELINE_DEPTH:
+                drain()
+    while pend:
+        drain()
     return out
 
 
@@ -339,7 +385,7 @@ class Execution(VqaExecution):
             text_enc = self.encode_corpus_text(net, params, corpus)
 
             def score_pairs(ii, cc):
-                return sharded_pair_call(
+                return sharded_pair_call_async(
                     self.mesh, self.n_shards,
                     lambda a, b: scorer(params, corpus, text_enc, a, b),
                     ii, cc)
@@ -357,7 +403,7 @@ class Execution(VqaExecution):
             return self.encode_text_window(net, params, corpus, start, block)
 
         def score_win(te, ii, cc):
-            return sharded_pair_call(
+            return sharded_pair_call_async(
                 self.mesh, self.n_shards,
                 lambda a, b: scorer(params, corpus, te, a, b), ii, cc)
 
@@ -473,20 +519,27 @@ class Execution(VqaExecution):
                 np.arange(n_imgs), np.arange(bcount), indexing="ij")
             pairs_i, pairs_c = pairs_i.reshape(-1), pairs_c.reshape(-1)
             sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
+            pend = deque()
+
+            def drain():
+                start, n, dev = pend.popleft()
+                sub[start:start + n] = np.asarray(dev)[:n]
+
             for start in range(0, len(pairs_i), bs_pairs):
                 ii = pairs_i[start:start + bs_pairs]
                 cc = pairs_c[start:start + bs_pairs]
-                pad = bs_pairs - len(ii)
-                if pad:
-                    ii = np.pad(ii, (0, pad))
-                    cc = np.pad(cc, (0, pad))
-                s = sharded_pair_call(
+                n = len(ii)
+                if n < bs_pairs:
+                    ii = np.pad(ii, (0, bs_pairs - n))
+                    cc = np.pad(cc, (0, bs_pairs - n))
+                pend.append((start, n, sharded_pair_call_async(
                     self.mesh, self.n_shards,
                     lambda a, b: scorer(params, corpus, text_enc, a, b),
-                    ii, cc)
-                if pad:
-                    s = s[:-pad]
-                sub[start:start + len(s)] = s
+                    ii, cc)))
+                if len(pend) >= PIPELINE_DEPTH:
+                    drain()
+            while pend:  # block-local: sub folds back before the next block
+                drain()
             score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
 
         if not is_writer():

@@ -15,13 +15,15 @@ On top of the shared bilevel loop (engine/search.py):
 from __future__ import annotations
 
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.engine.itm import (
-    mine_sweep, mine_sweep_blocked, recall_metrics, sharded_pair_call,
+    PIPELINE_DEPTH, mine_sweep, mine_sweep_blocked, recall_metrics,
+    sharded_pair_call_async,
 )
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
 from mmnas_tpu.models.supernet import NetSearch
@@ -174,7 +176,7 @@ class SearchExecution(SearchBase):
                                                corpus)
 
             def score_pairs(ii, cc):
-                return sharded_pair_call(
+                return sharded_pair_call_async(
                     self.mesh, self.n_shards,
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         text_enc, a, b), ii, cc)
@@ -190,7 +192,7 @@ class SearchExecution(SearchBase):
                                                corpus, start, block)
 
             def score_win(te, ii, cc):
-                return sharded_pair_call(
+                return sharded_pair_call_async(
                     self.mesh, self.n_shards,
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         te, a, b), ii, cc)
@@ -229,19 +231,27 @@ class SearchExecution(SearchBase):
                                  indexing="ij")
             pi, pc = pi.reshape(-1), pc.reshape(-1)
             sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
+            pend = deque()
+
+            def drain():
+                start, n, dev = pend.popleft()
+                sub[start:start + n] = np.asarray(dev)[:n]
+
             for start in range(0, len(pi), bs_pairs):
                 ii = pi[start:start + bs_pairs]
                 cc = pc[start:start + bs_pairs]
-                pad = bs_pairs - len(ii)
-                if pad:
-                    ii, cc = np.pad(ii, (0, pad)), np.pad(cc, (0, pad))
-                s = sharded_pair_call(
+                n = len(ii)
+                if n < bs_pairs:
+                    ii, cc = (np.pad(ii, (0, bs_pairs - n)),
+                              np.pad(cc, (0, bs_pairs - n)))
+                pend.append((start, n, sharded_pair_call_async(
                     self.mesh, self.n_shards,
                     lambda a, b: scorer(params, alpha, corpus, idx, text_enc,
-                                        a, b), ii, cc)
-                if pad:
-                    s = s[:-pad]
-                sub[start:start + len(s)] = s
+                                        a, b), ii, cc)))
+                if len(pend) >= PIPELINE_DEPTH:
+                    drain()
+            while pend:  # block-local: sub folds back before the next block
+                drain()
             score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
         if not is_writer():
             return None
