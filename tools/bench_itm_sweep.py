@@ -80,13 +80,17 @@ def main():
     ap.add_argument("--eval_imgs", type=int, default=1000)
     ap.add_argument("--block", type=int, default=16384,
                     help="TEXT_ENC_BLOCK: captions per resident text block")
-    ap.add_argument("--group", type=int, default=256,
+    ap.add_argument("--group", type=int, default=64,
                     help="NEG_BATCHSIZE: items per mining dispatch "
-                         "(pairs/dispatch = group * NEG_RANDSIZE; each "
-                         "pair gathers a 36x2048 feature row, so 16k "
-                         "pairs is ~2.4GB of HBM gather traffic)")
-    ap.add_argument("--eval_pairs", type=int, default=16384,
-                    help="EVAL_PAIRS: pairs per eval dispatch")
+                         "(pairs/dispatch = group * NEG_RANDSIZE). Tile "
+                         "ceiling is HBM: the decoder's fp32 attention "
+                         "temps are ~1GB per 4k pairs and the lag-2 "
+                         "pipeline holds two dispatches' arguments — "
+                         "16k-pair tiles OOM a 16GB v5e next to the "
+                         "4.6GB corpus (measured round 4)")
+    ap.add_argument("--eval_pairs", type=int, default=4096,
+                    help="EVAL_PAIRS: pairs per eval dispatch (see "
+                         "--group for the HBM ceiling)")
     ap.add_argument("--enc_chunk", type=int, default=1024,
                     help="captions per text-encoder dispatch")
     ap.add_argument("--randsize", type=int, default=64)

@@ -192,7 +192,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
 
 
 def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
-                   alpha_mode: str = "full"):
+                   alpha_mode: str = "full", kpath: int = 1):
     """The framework's full product contract end to end
     (search_vqa.py:382-386 -> train_vqa.py:185): bilevel supernet search on
     the rehearsal corpus, per-epoch genotype dump to
@@ -206,7 +206,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
     scfg = SearchCfg(TASK="vqa", DATA_ROOT=data_root, RUN_MODE="train",
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
-                     ALPHA_BINARY_MODE=alpha_mode,
+                     ALPHA_BINARY_MODE=alpha_mode, KPATH=kpath,
                      CKPT_EVERY=max(1, search_epochs),
                      SEED=44, VERSION="rehearsal_search_vqa-search",
                      ARCH_ROOT="./logs/arch/",  # keep tracked arch/ clean
@@ -224,7 +224,7 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
                       version="rehearsal_search_vqa-train")
     return {"metric": "search->train vqa_val_accuracy(VQAEval overall)",
             "value": trained["value"],
-            "alpha_mode": alpha_mode,
+            "alpha_mode": alpha_mode, "kpath": kpath,
             "searched_genotype": genotype,
             "genotype_json": arch_json,
             "search_epochs": search_epochs,
@@ -361,6 +361,10 @@ def main():
                    choices=["full", "two"],
                    help="arch-step gate mode for the search tasks "
                         "(reference MixedOp.MODE, mixed.py:37)")
+    p.add_argument("--search_kpath", type=int, default=1,
+                   help="KPATH for search_vqa: K concurrent sampled paths "
+                        "per weight step (the measured fast mode; proves "
+                        "the search contract still learns under it)")
     args = p.parse_args()
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
@@ -387,7 +391,10 @@ def main():
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss}
-        elif task in ("search_vqa", "search_vgd"):
+        elif task == "search_vqa":
+            kw = {"alpha_mode": args.search_alpha_mode,
+                  "kpath": args.search_kpath}
+        elif task == "search_vgd":
             kw = {"alpha_mode": args.search_alpha_mode}
         elif task == "search_itm":
             kw = {"alpha_mode": args.search_alpha_mode,
@@ -407,7 +414,9 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         }
-        out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}.json")
+        ktag = ("_kpath%d" % args.search_kpath
+                if task == "search_vqa" and args.search_kpath > 1 else "")
+        out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}{ktag}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
             f.write("\n")
