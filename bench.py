@@ -79,6 +79,9 @@ BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 BENCH_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 BENCH_REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"  # extra metric
+# BENCH_SEARCH=0 skips the search-loop leg (train-only runs avoid its
+# ~10-min remote compile when only the train number is being measured)
+BENCH_SEARCH = os.environ.get("BENCH_SEARCH", "1") == "1"
 # weight steps via the all-branch one-hot-gated program (no lax.switch);
 # same math, different XLA program — see engine/search.py DENSE_WEIGHT_STEP
 BENCH_DENSE = os.environ.get("BENCH_DENSE", "0") == "1"
@@ -152,9 +155,48 @@ def bench_train():
     return BENCH_STEPS * BATCH / dt
 
 
+def emit(record):
+    """Print the one-line result and mirror it (plus provenance) into the
+    TRACKED docs/evidence/ — logs/ and the driver's BENCH_r*.json do not
+    survive workspace resets (round-3 lesson)."""
+    import jax
+
+    print(json.dumps(record))
+    ev_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "evidence")
+    os.makedirs(ev_dir, exist_ok=True)
+    knobs = {k: os.environ[k] for k in
+             ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
+              "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
+              "BENCH_KPATH", "BENCH_SEARCH")
+             if k in os.environ}
+    record["provenance"] = {
+        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "backend": jax.default_backend(),
+        "env_overrides": knobs,
+        "bench_steps": BENCH_STEPS, "batch": BATCH, "dtype": BENCH_DTYPE,
+    }
+    suffix = ("_".join(f"{k.lower()}{knobs[k]}" for k in sorted(knobs))
+              if knobs else "default")
+    with open(os.path.join(ev_dir, f"bench_{suffix}.json"), "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not BENCH_SEARCH:
+        train_eps = bench_train()
+        emit({
+            "metric": "vqa_train_examples_per_sec_per_chip",
+            "value": round(train_eps, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(
+                train_eps / ESTIMATED_TRAIN_BASELINE_PER_GPU, 2),
+        })
+        return
 
     from mmnas_tpu.config import SearchCfg
     from mmnas_tpu.data.loader import _stack
@@ -298,30 +340,7 @@ def main():
                               "the reference publishes no throughput "
                               "numbers (SURVEY.md §6)"),
         }
-    print(json.dumps(record))
-
-    # durable evidence: mirror the record (plus provenance) into the
-    # TRACKED docs/evidence/ — logs/ and the driver's BENCH_r*.json do not
-    # survive workspace resets (round-3 lesson)
-    ev_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "docs", "evidence")
-    os.makedirs(ev_dir, exist_ok=True)
-    knobs = {k: os.environ[k] for k in
-             ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
-              "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
-              "BENCH_KPATH")
-             if k in os.environ}
-    record["provenance"] = {
-        "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "backend": jax.default_backend(),
-        "env_overrides": knobs,
-        "bench_steps": BENCH_STEPS, "batch": BATCH, "dtype": BENCH_DTYPE,
-    }
-    suffix = ("_".join(f"{k.lower()}{knobs[k]}" for k in sorted(knobs))
-              if knobs else "default")
-    with open(os.path.join(ev_dir, f"bench_{suffix}.json"), "w") as f:
-        json.dump(record, f, indent=1)
-        f.write("\n")
+    emit(record)
 
 
 if __name__ == "__main__":
