@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-4 TPU queue, part 4. Serial on the one real chip:
+#   1    regenerate rehearsal_vqa.json with cfg+provenance (the one
+#        evidence file still missing its knobs — ADVICE r3)
+#   2-3  next points on the K-path matrix: BS512/K8 (width-64 diagonal)
+#        and BS512/K16 (the width-32 diagonal the analysis flags as the
+#        first thing to try; may OOM or exceed the compile proxy's
+#        request limit — either is a documentable result)
+#   4    train-leg batch scaling at BS256 (BENCH_SEARCH=0 skips the
+#        search compile)
+set -u
+cd /root/repo
+LOG=logs/round4d_tpu.log
+mkdir -p logs
+echo "=== round4d queue start $(date -u) ===" >> "$LOG"
+run() {
+  echo "--- $* $(date -u) ---" >> "$LOG"
+  "$@" >> "$LOG" 2>&1
+  echo "--- exit=$? $(date -u) ---" >> "$LOG"
+}
+runenv() {
+  echo "--- $* $(date -u) ---" >> "$LOG"
+  env "$@" python bench.py >> "$LOG" 2>&1
+  echo "--- exit=$? $(date -u) ---" >> "$LOG"
+}
+run python tools/rehearsal.py --task vqa --epochs 20
+runenv BENCH_BS=512 BENCH_KPATH=8 BENCH_TRAIN=0
+runenv BENCH_BS=512 BENCH_KPATH=16 BENCH_TRAIN=0
+runenv BENCH_BS=256 BENCH_SEARCH=0
+echo "=== round4d queue done $(date -u) ===" >> "$LOG"
