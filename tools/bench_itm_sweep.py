@@ -103,6 +103,11 @@ def main():
                          "smoke tests where full-width compiles are slow")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
+    ap.add_argument("--profile", action="store_true",
+                    help="wrap the timed sweeps in jax.profiler.trace and "
+                         "print the top device ops (use with SMALL sizes, "
+                         "e.g. --eval_imgs 100 --train_imgs 500 — a "
+                         "full-scale trace is GBs)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -128,6 +133,20 @@ def main():
                    "eval_pairs", "enc_chunk", "randsize", "dtype")},
         "backend": jax.default_backend(),
     }
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def maybe_profile(tag):
+        if not args.profile:
+            yield
+            return
+        trace_dir = os.path.abspath(f"logs/profile_itm_{tag}")
+        with jax.profiler.trace(trace_dir):
+            yield
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_search import parse_trace
+        parse_trace(trace_dir, f"itm_{tag}")
 
     n_caps_tr = args.train_imgs * CorpusStub.CAPS_PER_IMG
     ds = CorpusStub(n_caps_tr, token_size, cfg.WORD_EMBED_SIZE)
@@ -159,7 +178,8 @@ def main():
             corpus, args.group * args.randsize, window)
 
         t0 = time.time()
-        ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=0)
+        with maybe_profile("mining"):
+            ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=0)
         dt = time.time() - t0
         pairs = (args.train_imgs + n_caps_tr) * args.randsize
         record["mining"] = {
@@ -186,7 +206,8 @@ def main():
             dataset = ds_ev
 
         t0 = time.time()
-        stats = ex.eval(_L(), net=net, params=params)
+        with maybe_profile("eval"):
+            stats = ex.eval(_L(), net=net, params=params)
         dt = time.time() - t0
         pairs = args.eval_imgs * n_caps_ev
         record["eval"] = {

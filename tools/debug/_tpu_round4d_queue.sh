@@ -27,4 +27,10 @@ run python tools/rehearsal.py --task vqa --epochs 20
 runenv BENCH_BS=512 BENCH_KPATH=8 BENCH_TRAIN=0
 runenv BENCH_BS=512 BENCH_KPATH=16 BENCH_TRAIN=0
 runenv BENCH_BS=256 BENCH_SEARCH=0
+# tile scaling: 8192-pair tiles halve the dispatch count; ~8.7G temps
+# should fit (16k measured 17.3G). Eval first (tiny corpus), then mining
+# next to the 4.3GB train corpus (marginal — an OOM is compile-time-safe
+# and documents the ceiling).
+run python tools/bench_itm_sweep.py --skip_mining --eval_pairs 8192
+run python tools/bench_itm_sweep.py --skip_eval --group 128
 echo "=== round4d queue done $(date -u) ===" >> "$LOG"
