@@ -33,4 +33,7 @@ runenv BENCH_BS=256 BENCH_SEARCH=0
 # and documents the ceiling).
 run python tools/bench_itm_sweep.py --skip_mining --eval_pairs 8192
 run python tools/bench_itm_sweep.py --skip_eval --group 128
+# where the 12%-MFU sweep's device time actually goes (small sizes —
+# full-scale traces are GBs)
+run python tools/bench_itm_sweep.py --train_imgs 500 --eval_imgs 100 --profile
 echo "=== round4d queue done $(date -u) ===" >> "$LOG"
