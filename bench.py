@@ -168,7 +168,7 @@ def emit(record):
     knobs = {k: os.environ[k] for k in
              ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
               "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
-              "BENCH_KPATH", "BENCH_SEARCH")
+              "BENCH_KPATH", "BENCH_SEARCH", "BENCH_STEPS")
              if k in os.environ}
     record["provenance"] = {
         "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -178,6 +178,10 @@ def emit(record):
     }
     suffix = ("_".join(f"{k.lower()}{knobs[k]}" for k in sorted(knobs))
               if knobs else "default")
+    # a debug run (short BENCH_STEPS, in the knobs above) or a non-TPU
+    # backend must never overwrite a tracked real-chip measurement
+    if jax.default_backend() != "tpu":
+        suffix += f"_{jax.default_backend()}"
     with open(os.path.join(ev_dir, f"bench_{suffix}.json"), "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")

@@ -161,6 +161,16 @@ class Cfg:
             raise ValueError(
                 f"CKPT_EVERY must be >= 1, got {self.CKPT_EVERY} "
                 "(1 = per-epoch reference parity)")
+        # negative values would make the ITM sweep loops silently EMPTY
+        # (range with a negative step / empty tile range) — garbage
+        # negatives and all-zero score matrices instead of an error
+        for knob in ("TEXT_ENC_BLOCK", "EVAL_PAIRS"):
+            if getattr(self, knob) < 0:
+                raise ValueError(f"{knob} must be >= 0 (0 = default), "
+                                 f"got {getattr(self, knob)}")
+        if self.TEXT_ENC_CHUNK < 1:
+            raise ValueError(f"TEXT_ENC_CHUNK must be >= 1, "
+                             f"got {self.TEXT_ENC_CHUNK}")
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -218,6 +218,49 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
     return out
 
 
+def score_matrix_sweep(n_imgs, n_caps, block, bs_pairs, encode_window,
+                       score_win):
+    """Block-tiled [n_imgs, n_caps] score matrix shared by the train and
+    search eval paths (train_itm.py:461-546): captions stream in encoded
+    blocks of `block` (clamped to the corpus — a train-scale
+    TEXT_ENC_BLOCK must not compile oversized windows on a small eval
+    corpus), and pairs dispatch in bs_pairs tiles with a
+    lag-PIPELINE_DEPTH fetch pipeline. encode_window(start, count) -> the
+    encoded text block; score_win(te, img_idx, cap_idx_rel) -> async
+    device scores with cap_idx_rel relative to the window."""
+    block = min(block or n_caps, n_caps)
+    score_mat = np.zeros((n_imgs, n_caps), np.float32)
+    for bstart in range(0, n_caps, block):
+        bcount = min(block, n_caps - bstart)
+        te = encode_window(bstart, block)
+        # all images x this caption block, caption-major so the flat
+        # order matches score_mat[:, bstart:bstart+bcount].reshape(-1)
+        pi, pc = np.meshgrid(np.arange(n_imgs), np.arange(bcount),
+                             indexing="ij")
+        pi, pc = pi.reshape(-1), pc.reshape(-1)
+        sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
+        pend = deque()
+
+        def drain():
+            start, n, dev = pend.popleft()
+            sub[start:start + n] = np.asarray(dev)[:n]
+
+        for start in range(0, len(pi), bs_pairs):
+            ii = pi[start:start + bs_pairs]
+            cc = pc[start:start + bs_pairs]
+            n = len(ii)
+            if n < bs_pairs:
+                ii = np.pad(ii, (0, bs_pairs - n))
+                cc = np.pad(cc, (0, bs_pairs - n))
+            pend.append((start, n, score_win(te, ii, cc)))
+            if len(pend) >= PIPELINE_DEPTH:
+                drain()
+        while pend:  # block-local: sub folds back before the next block
+            drain()
+        score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
+    return score_mat
+
+
 class Execution(VqaExecution):
 
     # ------------------------------------------------------------------ data
@@ -507,40 +550,12 @@ class Execution(VqaExecution):
         # pairs -> hours of pure dispatch overhead at Flickr30K scale)
         bs_pairs = cfg.EVAL_PAIRS or cfg.EVAL_BATCH_SIZE * 2 * max(
             1, self.n_shards)
-        block = cfg.TEXT_ENC_BLOCK or n_caps
-        score_mat = np.zeros((n_imgs, n_caps), np.float32)
-        for bstart in range(0, n_caps, block):
-            bcount = min(block, n_caps - bstart)
-            text_enc = self.encode_text_window(net, params, corpus,
-                                               bstart, block)
-            # all images x this caption block, caption-major so the flat
-            # order matches score_mat[:, bstart:bstart+bcount].reshape(-1)
-            pairs_i, pairs_c = np.meshgrid(
-                np.arange(n_imgs), np.arange(bcount), indexing="ij")
-            pairs_i, pairs_c = pairs_i.reshape(-1), pairs_c.reshape(-1)
-            sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
-            pend = deque()
-
-            def drain():
-                start, n, dev = pend.popleft()
-                sub[start:start + n] = np.asarray(dev)[:n]
-
-            for start in range(0, len(pairs_i), bs_pairs):
-                ii = pairs_i[start:start + bs_pairs]
-                cc = pairs_c[start:start + bs_pairs]
-                n = len(ii)
-                if n < bs_pairs:
-                    ii = np.pad(ii, (0, bs_pairs - n))
-                    cc = np.pad(cc, (0, bs_pairs - n))
-                pend.append((start, n, sharded_pair_call_async(
-                    self.mesh, self.n_shards,
-                    lambda a, b: scorer(params, corpus, text_enc, a, b),
-                    ii, cc)))
-                if len(pend) >= PIPELINE_DEPTH:
-                    drain()
-            while pend:  # block-local: sub folds back before the next block
-                drain()
-            score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
+        score_mat = score_matrix_sweep(
+            n_imgs, n_caps, cfg.TEXT_ENC_BLOCK, bs_pairs,
+            lambda s, c: self.encode_text_window(net, params, corpus, s, c),
+            lambda te, ii, cc: sharded_pair_call_async(
+                self.mesh, self.n_shards,
+                lambda a, b: scorer(params, corpus, te, a, b), ii, cc))
 
         if not is_writer():
             return None

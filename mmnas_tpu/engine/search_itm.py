@@ -15,14 +15,13 @@ On top of the shared bilevel loop (engine/search.py):
 from __future__ import annotations
 
 import time
-from collections import deque
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.engine.itm import (
-    PIPELINE_DEPTH, mine_sweep, mine_sweep_blocked, recall_metrics,
+    mine_sweep, mine_sweep_blocked, recall_metrics, score_matrix_sweep,
     sharded_pair_call_async,
 )
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
@@ -221,38 +220,14 @@ class SearchExecution(SearchBase):
         n_imgs = n_caps // dataset.CAPS_PER_IMG
         bs_pairs = cfg.EVAL_PAIRS or cfg.EVAL_BATCH_SIZE * 2 * max(
             1, self.n_shards)
-        block = cfg.TEXT_ENC_BLOCK or n_caps
-        score_mat = np.zeros((n_imgs, n_caps), np.float32)
-        for bstart in range(0, n_caps, block):
-            bcount = min(block, n_caps - bstart)
-            text_enc = self.encode_text_window(net, params, alpha, idx,
-                                               corpus, bstart, block)
-            pi, pc = np.meshgrid(np.arange(n_imgs), np.arange(bcount),
-                                 indexing="ij")
-            pi, pc = pi.reshape(-1), pc.reshape(-1)
-            sub = score_mat[:, bstart:bstart + bcount].reshape(-1)
-            pend = deque()
-
-            def drain():
-                start, n, dev = pend.popleft()
-                sub[start:start + n] = np.asarray(dev)[:n]
-
-            for start in range(0, len(pi), bs_pairs):
-                ii = pi[start:start + bs_pairs]
-                cc = pc[start:start + bs_pairs]
-                n = len(ii)
-                if n < bs_pairs:
-                    ii, cc = (np.pad(ii, (0, bs_pairs - n)),
-                              np.pad(cc, (0, bs_pairs - n)))
-                pend.append((start, n, sharded_pair_call_async(
-                    self.mesh, self.n_shards,
-                    lambda a, b: scorer(params, alpha, corpus, idx, text_enc,
-                                        a, b), ii, cc)))
-                if len(pend) >= PIPELINE_DEPTH:
-                    drain()
-            while pend:  # block-local: sub folds back before the next block
-                drain()
-            score_mat[:, bstart:bstart + bcount] = sub.reshape(n_imgs, bcount)
+        score_mat = score_matrix_sweep(
+            n_imgs, n_caps, cfg.TEXT_ENC_BLOCK, bs_pairs,
+            lambda s, c: self.encode_text_window(net, params, alpha, idx,
+                                                 corpus, s, c),
+            lambda te, ii, cc: sharded_pair_call_async(
+                self.mesh, self.n_shards,
+                lambda a, b: scorer(params, alpha, corpus, idx, te, a, b),
+                ii, cc))
         if not is_writer():
             return None
         stats = recall_metrics(score_mat)

@@ -199,8 +199,10 @@ def main():
         corpus = device_corpus(ex, cfg, args.eval_imgs, n_caps_ev,
                                token_size, seed=2)
         ex._corpus_cache = {id(ds_ev): corpus}
+        # the eval sweep clamps the text block to the corpus
+        # (score_matrix_sweep) — warm at the same clamped window shape
         record["eval_compile_s"] = warm(
-            corpus, args.eval_pairs, args.block or n_caps_ev)
+            corpus, args.eval_pairs, min(args.block or n_caps_ev, n_caps_ev))
 
         class _L:  # minimal eval_loader surface
             dataset = ds_ev
@@ -223,9 +225,19 @@ def main():
         "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "command": " ".join(["python"] + sys.argv),
     }
+    # only a default-knob full-scale TPU run may claim the canonical
+    # filename — a smoke/probe run (non-default knobs or a non-TPU
+    # backend) must never overwrite the tracked reference measurement
+    diffs = [f"{k}{v}" for k, v in sorted(vars(args).items())
+             if v != ap.get_default(k)]
+    if jax.default_backend() != "tpu":
+        diffs.append(jax.default_backend())
+    name = "bench_itm_sweep"
+    if diffs:
+        name += "_" + "_".join(d.replace("/", "").replace(".", "")
+                               for d in diffs)[:120]
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "evidence",
-        "bench_itm_sweep.json")
+        os.path.abspath(__file__))), "docs", "evidence", name + ".json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
