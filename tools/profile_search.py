@@ -145,6 +145,13 @@ def parse_trace(trace_dir, mode):
         lanes[(e["pid"], e["tid"])].append(e)
 
     strip = re.compile(r"[.\d]+$")
+    # group by (opcode, RESULT SHAPE): plain opcode grouping lumps every
+    # unnamed loop fusion into one "fusion" row whose displayed long_name
+    # is an arbitrary member — which misattributed hot ops twice in past
+    # rounds (docs/perf_analysis.md caveat). The result shape splits e.g.
+    # the text-encoder's embedding fusion from the scorer's matmul
+    # epilogues while still merging the per-invocation numbered clones.
+    result_shape = re.compile(r"=\s*((?:\w+\[[^\]]*\])+)")
     agg, shapes = defaultdict(float), {}
     for evs in lanes.values():
         evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
@@ -160,9 +167,13 @@ def parse_trace(trace_dir, mode):
             stack.append((ts, dur, holder))
         for e in evs:
             name = strip.sub("", e.get("name", "?")) or "(unnamed)"
+            long_name = str(e.get("args", {}).get("long_name", ""))
+            m = result_shape.search(long_name)
+            if m:
+                name = f"{name} -> {m.group(1)}"
             agg[name] += max(0, e["_self"][0]) / 1e3
             if name not in shapes:
-                shapes[name] = str(e.get("args", {}).get("long_name", ""))[:90]
+                shapes[name] = long_name[:90]
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
     total = sum(agg.values())
     print(f"\ntop ops by device SELF time ({path}):")
