@@ -63,7 +63,7 @@ scaling axis is data parallelism (139MB grad psum ~ 2.7ms over v5e ICI,
 docs/architecture.md).
 Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS / BENCH_TRAIN_BS /
 BENCH_KPATH / BENCH_REMAT / BENCH_DENSE / BENCH_UNIFIED / BENCH_HYBRID /
-BENCH_SEARCH / BENCH_TRAIN / BENCH_STEPS env vars.
+BENCH_SEARCH / BENCH_TRAIN / BENCH_STEPS / BENCH_HEADLAST env vars.
 """
 
 import json
@@ -107,6 +107,13 @@ BENCH_HYBRID = os.environ.get("BENCH_HYBRID", "0") == "1"
 # K independent sampled paths per weight step, each on a strided 1/K batch
 # slice, one union-masked optimizer update (engine/search.py step_kpath)
 BENCH_KPATH = int(os.environ.get("BENCH_KPATH", "8"))
+# head-last attention layout (scores [B,Q,K,H], no head transposes —
+# ops/attention.py use_head_last): probes whether dropping the layout-copy
+# kernels shortens the latency-bound switch chain
+BENCH_HEADLAST = os.environ.get("BENCH_HEADLAST", "0") == "1"
+if BENCH_HEADLAST:
+    from mmnas_tpu.ops import attention as _att
+    _att.use_head_last(True)
 
 
 def bench_train():
@@ -182,7 +189,8 @@ def emit(record):
     knobs = {k: os.environ[k] for k in
              ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
               "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
-              "BENCH_KPATH", "BENCH_SEARCH", "BENCH_STEPS", "BENCH_TRAIN_BS")
+              "BENCH_KPATH", "BENCH_SEARCH", "BENCH_STEPS", "BENCH_TRAIN_BS",
+              "BENCH_HEADLAST")
              if k in os.environ}
     record["provenance"] = {
         "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -95,6 +95,16 @@ class Cfg:
     NEG_HARDSIZE: int = 5
     NEG_NEPOCH: int = 1
     NEG_START_EPOCH: int = 0
+    MINE_SEMIHARD: bool = False       # beyond-reference: drop mined
+                                      # negatives that tie/beat the item's
+                                      # strongest own positive (likely
+                                      # mislabeled true matches). The
+                                      # reference mines unfiltered
+                                      # (train_itm.py:299-363); under label
+                                      # noise that mines FALSE negatives
+                                      # (docs/evidence/
+                                      # rehearsal_itm_scaled.json: mining
+                                      # pass spikes loss 0.7->3.75)
     ITM_DOUBLE_POS: bool = True       # reference BCE_Loss counts loss_pos
                                       # twice (itm_loss.py:22) — kept for
                                       # parity, flag to disable
@@ -347,6 +357,12 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--EVAL_PAIRS", dest="EVAL_PAIRS", default=0, type=int,
                        help="pairs per jitted eval dispatch (0 = "
                             "EVAL_BATCH_SIZE*2*n_shards)")
+        p.add_argument("--MINE_SEMIHARD", dest="MINE_SEMIHARD",
+                       default=False, action="store_true",
+                       help="semi-hard mining: filter mined negatives that "
+                            "tie/beat the item's strongest own positive "
+                            "(robust to label noise; off = reference "
+                            "parity)")
     return p
 
 

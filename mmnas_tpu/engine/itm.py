@@ -96,8 +96,20 @@ def draw_candidates(n_items, n_cand_pool, per_img, caps_per_img, rng, R,
     return cand
 
 
+def _semihard_mask(s, pos_rows):
+    """Semi-hard filter (beyond reference — train_itm.py:299-363 mines
+    unfiltered): candidates that tie or beat the item's strongest own
+    positive are very likely mislabeled true matches, so drop them from
+    the top-H pool by sinking their scores to -inf. Items whose every
+    candidate is filtered fall back to their first-drawn (uniform random)
+    candidates — argsort over all -inf keeps draw order."""
+    s = s.astype(np.float32)
+    s[s >= pos_rows] = -np.inf
+    return s
+
+
 def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
-               rng, R, H, group):
+               rng, R, H, group, pos=None):
     """One hard-negative mining sweep (train_itm.py:299-363): for each of
     n_items, score R random candidates and keep the top H by score.
     per_img=True: items are images, candidates captions; False: items are
@@ -105,7 +117,9 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
     scores (async; fetched here with a lag-PIPELINE_DEPTH pipeline).
     Shared by the train engine and search_itm. Requires the whole
     encoded-caption table on device; see mine_sweep_blocked for the
-    streamed variant at corpora where it does not fit."""
+    streamed variant at corpora where it does not fit.
+    pos (optional, [n_items] float32): per-item strongest-own-positive
+    scores for semi-hard filtering (MINE_SEMIHARD; see _semihard_mask)."""
     cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
                            rng, R, group)
     out = np.zeros((n_items, H), np.int64)
@@ -114,6 +128,8 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
     def drain():
         idxs, g, dev = pend.popleft()
         s = np.asarray(dev)[:g * R].reshape(g, R)
+        if pos is not None:
+            s = _semihard_mask(s, pos[idxs, None])
         order = np.argsort(-s, axis=-1)[:, :H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
@@ -136,7 +152,8 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
 
 
 def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
-                       n_cand_pool, per_img, caps_per_img, rng, R, H, group):
+                       n_cand_pool, per_img, caps_per_img, rng, R, H, group,
+                       pos=None):
     """Caption-block-streamed mining sweep for reference-scale corpora
     (Flickr30K train: 145k captions -> a full encoded-text table is ~15GB
     bf16 and cannot be HBM-resident next to the image corpus; the
@@ -166,8 +183,8 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
         flat_cand = cand.reshape(-1)
 
         def drain():
-            pos, dev = pend.popleft()
-            scores[pos] = np.asarray(dev)[:len(pos)]
+            where, dev = pend.popleft()
+            scores[where] = np.asarray(dev)[:len(where)]
 
         for bstart in range(0, n_cand_pool, block):
             sel = np.where((flat_cand >= bstart)
@@ -176,26 +193,30 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
                 continue
             te = encode_window(bstart)
             for s0 in range(0, len(sel), chunk):
-                pos = sel[s0:s0 + chunk]
-                ii = flat_item[pos]
-                cc = flat_cand[pos] - bstart
-                pad = chunk - len(pos)
+                where = sel[s0:s0 + chunk]
+                ii = flat_item[where]
+                cc = flat_cand[where] - bstart
+                pad = chunk - len(where)
                 if pad:
                     ii = np.pad(ii, (0, pad))
                     cc = np.pad(cc, (0, pad))
-                pend.append((pos, score_pairs_win(te, ii, cc)))
+                pend.append((where, score_pairs_win(te, ii, cc)))
                 if len(pend) >= PIPELINE_DEPTH:
                     drain()
         while pend:
             drain()
         scores = scores.reshape(n_items, R)
+        if pos is not None:
+            scores = _semihard_mask(scores, pos[:, None])
         order = np.argsort(-scores, axis=-1)[:, :H]
         return np.take_along_axis(cand, order, axis=1)
 
     def drain():
         idxs, g, dev = pend.popleft()
-        s = np.asarray(dev)[:g * R]
-        order = np.argsort(-s.reshape(g, R), axis=-1)[:, :H]
+        s = np.asarray(dev)[:g * R].reshape(g, R)
+        if pos is not None:
+            s = _semihard_mask(s, pos[idxs, None])
+        order = np.argsort(-s, axis=-1)[:, :H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
     for bstart in range(0, n_items, block):
@@ -216,6 +237,64 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
     while pend:
         drain()
     return out
+
+
+def positive_scores(score_pairs, n_caps, caps_per_img, tile):
+    """Scores of every (own image, caption) pair -> [n_caps] float32, the
+    semi-hard mining anchors (MINE_SEMIHARD): caption j's positive is
+    score(j // caps_per_img, j); image i's is the max over its own
+    caps_per_img captions (taken by the caller). Dispatched in the mining
+    sweep's group*R tile shape so no new program shape compiles."""
+    pos = np.zeros(n_caps, np.float32)
+    pend = deque()
+
+    def drain():
+        start, n, dev = pend.popleft()
+        pos[start:start + n] = np.asarray(dev)[:n]
+
+    for start in range(0, n_caps, tile):
+        n = min(tile, n_caps - start)
+        cc = np.arange(start, start + n, dtype=np.int64)
+        ii = cc // caps_per_img
+        if n < tile:
+            ii = np.pad(ii, (0, tile - n))
+            cc = np.pad(cc, (0, tile - n))
+        pend.append((start, n, score_pairs(ii, cc)))
+        if len(pend) >= PIPELINE_DEPTH:
+            drain()
+    while pend:
+        drain()
+    return pos
+
+
+def positive_scores_blocked(score_pairs_win, encode_window, block, n_caps,
+                            caps_per_img, tile):
+    """positive_scores with the encoded-caption table streamed in `block`
+    windows (see mine_sweep_blocked) — bit-identical scores."""
+    pos = np.zeros(n_caps, np.float32)
+    pend = deque()
+
+    def drain():
+        start, n, dev = pend.popleft()
+        pos[start:start + n] = np.asarray(dev)[:n]
+
+    for bstart in range(0, n_caps, block):
+        bend = min(bstart + block, n_caps)
+        te = encode_window(bstart)
+        for start in range(bstart, bend, tile):
+            n = min(tile, bend - start)
+            cc = np.arange(start, start + n, dtype=np.int64)
+            ii = cc // caps_per_img
+            ccr = cc - bstart  # caption idx relative to the window
+            if n < tile:
+                ii = np.pad(ii, (0, tile - n))
+                ccr = np.pad(ccr, (0, tile - n))
+            pend.append((start, n, score_pairs_win(te, ii, ccr)))
+            if len(pend) >= PIPELINE_DEPTH:
+                drain()
+    while pend:
+        drain()
+    return pos
 
 
 def score_matrix_sweep(n_imgs, n_caps, block, bs_pairs, encode_window,
@@ -433,10 +512,17 @@ class Execution(VqaExecution):
                     lambda a, b: scorer(params, corpus, text_enc, a, b),
                     ii, cc)
 
+            pos_imgs = pos_caps = None
+            if cfg.MINE_SEMIHARD:
+                pos_caps = positive_scores(score_pairs, n_caps, cpi,
+                                           group * R)
+                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep(
-                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group)
+                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
+                pos=pos_imgs)
             dataset.neg_imgs_idx_tensor = mine_sweep(
-                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group)
+                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
+                pos=pos_caps)
             return
 
         # caption-block streaming: at Flickr30K train scale the full
@@ -450,12 +536,17 @@ class Execution(VqaExecution):
                 self.mesh, self.n_shards,
                 lambda a, b: scorer(params, corpus, te, a, b), ii, cc)
 
+        pos_imgs = pos_caps = None
+        if cfg.MINE_SEMIHARD:
+            pos_caps = positive_scores_blocked(
+                score_win, encode_window, block, n_caps, cpi, group * R)
+            pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
         dataset.neg_caps_idx_tensor = mine_sweep_blocked(
             score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-            rng, R, H, group)
+            rng, R, H, group, pos=pos_imgs)
         dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
             score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-            rng, R, H, group)
+            rng, R, H, group, pos=pos_caps)
 
     # ----------------------------------------------------------------- train
     def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):

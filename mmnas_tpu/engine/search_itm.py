@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.engine.itm import (
-    mine_sweep, mine_sweep_blocked, recall_metrics, score_matrix_sweep,
+    mine_sweep, mine_sweep_blocked, positive_scores,
+    positive_scores_blocked, recall_metrics, score_matrix_sweep,
     sharded_pair_call_async,
 )
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
@@ -180,10 +181,17 @@ class SearchExecution(SearchBase):
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         text_enc, a, b), ii, cc)
 
+            pos_imgs = pos_caps = None
+            if cfg.MINE_SEMIHARD:
+                pos_caps = positive_scores(score_pairs, n_caps, cpi,
+                                           group * R)
+                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep(
-                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group)
+                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
+                pos=pos_imgs)
             dataset.neg_imgs_idx_tensor = mine_sweep(
-                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group)
+                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
+                pos=pos_caps)
         else:
             # caption-block streaming at train scale (engine/itm.py)
             def encode_window(start):
@@ -196,12 +204,17 @@ class SearchExecution(SearchBase):
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         te, a, b), ii, cc)
 
+            pos_imgs = pos_caps = None
+            if cfg.MINE_SEMIHARD:
+                pos_caps = positive_scores_blocked(
+                    score_win, encode_window, block, n_caps, cpi, group * R)
+                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep_blocked(
                 score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-                rng, R, H, group)
+                rng, R, H, group, pos=pos_imgs)
             dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
                 score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-                rng, R, H, group)
+                rng, R, H, group, pos=pos_caps)
         if is_writer():
             print(f"search mining: {time.time() - t0:.1f}s")
 

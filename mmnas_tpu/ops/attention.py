@@ -24,10 +24,28 @@ from mmnas_tpu.ops import primitives as P
 # toggled by mmnas_tpu.ops.pallas_attention.enable() / tests
 _USE_PALLAS = False
 
+# head-last layout (scores in [B,Q,K,H] instead of [B,H,Q,K]): removes the
+# [B,L,H,D]->[B,H,L,D] q/k/v transposes and the RSA bias transpose. The
+# ITM-sweep profile attributes ~30% of device self time to pure layout
+# copies around those transposes (docs/perf_analysis.md); this is the
+# experiment that targets them. Toggle via use_head_last().
+_HEAD_LAST = False
+
 
 def use_pallas(flag: bool):
     global _USE_PALLAS
     _USE_PALLAS = flag
+
+
+def use_head_last(flag: bool):
+    global _HEAD_LAST
+    _HEAD_LAST = flag
+
+
+def head_last_active() -> bool:
+    """Head-last dispatches only when the Pallas kernel won't (the kernel
+    expects the [B,H,L,D] layout)."""
+    return _HEAD_LAST and not _USE_PALLAS
 
 
 def rsa_fusion_active(dropout_r: float = 0.0, train: bool = False) -> bool:
@@ -54,6 +72,41 @@ def rsa_log_bias(wr, rel_proj):
     r = jax.nn.relu(rel_proj @ wr["w"] + wr["b"])    # [B, L, L, H]
     r = jnp.transpose(r, (0, 3, 1, 2))
     return jnp.log(jnp.clip(r, min=1e-6))
+
+
+def rsa_log_bias_headlast(wr, rel_proj):
+    """rsa_log_bias WITHOUT the [B,L,L,H] -> [B,H,L,L] transpose: the
+    head-last scores layout [B,Q,K,H] adds the bias as it comes off the
+    Wr matmul."""
+    r = jax.nn.relu(rel_proj @ wr["w"] + wr["b"])    # [B, Lq, Lk, H]
+    return jnp.log(jnp.clip(r, min=1e-6))
+
+
+def scaled_dot_attention_headlast(q, k, v, mask=None, log_bias=None, *,
+                                  dropout_r: float = 0.0,
+                                  train: bool = False, rng=None):
+    """scaled_dot_attention in the head-last layout: q,k,v [B, L, H, D]
+    straight off the projection reshape (no [B,H,L,D] transpose), scores
+    and softmax in [B, Q, K, H], RSA log_bias [B, Lq, Lk, H] (its natural
+    layout), output [B, Lq, H*D] via reshape only. Identical math —
+    fp32 scores/softmax, same masking (mask [B,1,1,Lk] bool, True=pad) —
+    but XLA never materializes a head-major copy. NOTE: the attention
+    dropout mask is drawn over the [B,Q,K,H] shape, so train-mode
+    numerics differ from the head-major path draw-for-draw (still valid
+    dropout; eval/scoring paths are bit-comparable)."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bqkh", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    if log_bias is not None:
+        scores = scores + log_bias.astype(jnp.float32)
+    if mask is not None:  # key axis is 2 here
+        scores = P.mask_scores(scores, mask[:, 0, 0][:, None, :, None])
+    att = jax.nn.softmax(scores, axis=2)
+    if train and dropout_r > 0.0:
+        att = P.dropout(rng, att, dropout_r, train)
+    out = jnp.einsum("bqkh,bkhd->bqhd", att.astype(v.dtype), v)
+    B, Lq, H, D = out.shape
+    return out.reshape(B, Lq, H * D)
 
 
 def scaled_dot_attention(q, k, v, mask=None, log_bias=None, *, rel=None,

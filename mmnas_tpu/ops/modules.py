@@ -100,7 +100,7 @@ def _merge_heads(t):
 
 
 def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
-                 log_bias=None, rel_fused=None):
+                 log_bias=None, rel_fused=None, log_bias_hl=None):
     inside = int(cfg.hsize * hsize_k) if hsize_k else cfg.hsize
     n_heads = inside // base
     # fuse projections sharing an input into ONE matmul (the models are
@@ -116,6 +116,18 @@ def _mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, train, rngs,
         qq = P.linear(p["wq"], q)
     else:
         vv, kk, qq = P.linear(p["wv"], v), P.linear(p["wk"], k), P.linear(p["wq"], q)
+    from mmnas_tpu.ops import attention as A
+    if (log_bias_hl is not None
+            or (A.head_last_active() and log_bias is None
+                and rel_fused is None)):
+        # head-last layout: no [B,H,L,D] transposes (see attention.py)
+        def hl(t):
+            B, L, _ = t.shape
+            return t.reshape(B, L, n_heads, base)
+        atted = A.scaled_dot_attention_headlast(
+            hl(qq), hl(kk), hl(vv), mask, log_bias_hl,
+            dropout_r=cfg.dropout_r, train=train, rng=rngs())
+        return P.linear(p["wm"], atted)
     vh = _split_heads(vv, n_heads, base)
     kh = _split_heads(kk, n_heads, base)
     qh = _split_heads(qq, n_heads, base)
@@ -151,6 +163,19 @@ def _rsa_bias_from_raw(w1w, w1b, p_wr, raw):
     return rsa_log_bias(p_wr, proj)
 
 
+def _rsa_bias_hl(p_wr, rel):
+    """_rsa_bias in the head-last layout ([B,L,L,H], no transpose)."""
+    from mmnas_tpu.ops.attention import rsa_log_bias_headlast
+    return rsa_log_bias_headlast(p_wr, rel)
+
+
+def _rsa_bias_from_raw_hl(w1w, w1b, p_wr, raw):
+    """_rsa_bias_from_raw in the head-last layout ([B,L,L,H])."""
+    from mmnas_tpu.ops.attention import rsa_log_bias_headlast
+    proj = jax.nn.relu(raw @ w1w + w1b)
+    return rsa_log_bias_headlast(p_wr, proj)
+
+
 def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                      train, rngs):
     """rel is either the projected tensor [B, L, L, REL_SIZE] (legacy/test
@@ -180,12 +205,25 @@ def _rel_mhatt_apply(p, cfg: OpCfg, base: int, hsize_k, v, k, q, mask, rel,
                          p["wr"]["w"], p["wr"].get("b"))
             return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
                                 rngs, rel_fused=rel_fused)
+        from mmnas_tpu.ops.attention import head_last_active
+        if head_last_active():
+            log_bias_hl = jax.checkpoint(_rsa_bias_from_raw_hl)(
+                rel["w1"], rel["b1"], p["wr"], raw)
+            return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
+                                rngs, log_bias_hl=log_bias_hl)
         log_bias = jax.checkpoint(_rsa_bias_from_raw)(
             rel["w1"], rel["b1"], p["wr"], raw)
-    elif cfg.remat:
-        log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
     else:
-        log_bias = _rsa_bias(p["wr"], rel)
+        from mmnas_tpu.ops.attention import head_last_active
+        if head_last_active():
+            bias_fn = (jax.checkpoint(_rsa_bias_hl) if cfg.remat
+                       else _rsa_bias_hl)
+            return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train,
+                                rngs, log_bias_hl=bias_fn(p["wr"], rel))
+        if cfg.remat:
+            log_bias = jax.checkpoint(_rsa_bias)(p["wr"], rel)
+        else:
+            log_bias = _rsa_bias(p["wr"], rel)
     return _mhatt_apply(p, cfg, base, hsize_k, v, k, q, mask, train, rngs,
                         log_bias=log_bias)
 

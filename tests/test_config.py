@@ -26,3 +26,14 @@ def test_itm_eval_batch_is_double():
 def test_search_eval_batch_follows_bs():
     cfg = _parse("vqa", ["--BS", "128", "--SYNTH"], search=True)
     assert cfg.EVAL_BATCH_SIZE == 128
+
+
+def test_itm_mine_semihard_flag():
+    """--MINE_SEMIHARD plumbs through both the train and search ITM CLIs
+    and defaults OFF (reference-parity unfiltered mining)."""
+    cfg = _parse("itm", ["--SYNTH"])
+    assert cfg.MINE_SEMIHARD is False
+    cfg = _parse("itm", ["--SYNTH", "--MINE_SEMIHARD"])
+    assert cfg.MINE_SEMIHARD is True
+    cfg = _parse("itm", ["--SYNTH", "--MINE_SEMIHARD"], search=True)
+    assert cfg.MINE_SEMIHARD is True

@@ -290,3 +290,93 @@ def test_pair_scoring_sharded_matches_single_device():
     sh = pmesh.batch_sharding(ex8.mesh)
     arr = jax.device_put(jnp.arange(80, dtype=jnp.int32), sh)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_semihard_mine_sweep_filters_false_negatives():
+    """MINE_SEMIHARD unit semantics on a planted score table: candidates
+    that tie/beat the item's positive anchor are excluded from the top-H
+    pool; an item whose every candidate is filtered falls back to drawn
+    candidates (still avoiding its own pairs)."""
+    from mmnas_tpu.engine.itm import mine_sweep
+
+    n_caps, n_imgs = 8, 8  # caps_per_img=1; items are captions (per_img=0)
+    # score(img i, cap j) = i: higher image index = "harder" negative
+    def score_pairs(ii, cc):
+        return np.asarray(ii, np.float32)
+
+    kw = dict(n_items=n_caps, n_cand_pool=n_imgs, per_img=False,
+              caps_per_img=1, R=6, H=2, group=4)
+    plain = mine_sweep(score_pairs, rng=np.random.RandomState(5), **kw)
+    # unfiltered: image 7 (or 6 for caption 7) is drawn somewhere and wins
+    assert plain.max() >= 6
+
+    pos = np.full(n_caps, 5.5, np.float32)  # images 6,7 = false negatives
+    pos[3] = -1.0                           # caption 3: filter everything
+    mined = mine_sweep(score_pairs, rng=np.random.RandomState(5),
+                       pos=pos, **kw)
+    keep = np.ones(n_caps, bool)
+    keep[3] = False
+    assert mined[keep].max() <= 5            # 6,7 filtered out everywhere
+    assert mined.shape == plain.shape
+    for j in range(n_caps):                  # own image still never mined
+        assert j not in set(mined[j].tolist())
+
+
+def test_positive_scores_tiling_and_blocked_parity():
+    """positive_scores must return score(own image, caption) for every
+    caption across tile padding, and the window-streamed variant must be
+    bit-identical."""
+    from mmnas_tpu.engine.itm import positive_scores, positive_scores_blocked
+
+    n_caps, cpi = 11, 5
+
+    def score_pairs(ii, cc):
+        return (np.asarray(ii, np.float32) * 10.0
+                + np.asarray(cc, np.float32))
+
+    want = (np.arange(n_caps) // cpi) * 10.0 + np.arange(n_caps)
+    got = positive_scores(score_pairs, n_caps, cpi, tile=4)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    windows = {}
+
+    def encode_window(start):
+        windows[start] = True
+        return start  # the "encoded block" is just its offset here
+
+    def score_win(te, ii, cc_rel):
+        return score_pairs(ii, np.asarray(cc_rel) + te)
+
+    got_b = positive_scores_blocked(score_win, encode_window, block=4,
+                                    n_caps=n_caps, caps_per_img=cpi, tile=4)
+    np.testing.assert_array_equal(got_b, got)
+    assert set(windows) == {0, 4, 8}
+
+
+def test_semihard_blocked_mining_matches_unblocked(itm_setup):
+    """MINE_SEMIHARD through the engine: the caption-block-streamed sweep
+    (positive_scores_blocked + masked top-H) must produce bit-identical
+    neg tensors to the resident-table semi-hard sweep, and the filter must
+    actually change the mined set vs unfiltered mining."""
+    cfg, ex, ds, net, params = itm_setup
+    scorer = ex.cached_step("scorer", net, ex.make_pair_scorer)
+    corpus = ex.device_corpus(ds)
+
+    ex.cfg = cfg.replace(TEXT_ENC_BLOCK=0)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    plain_caps = ds.neg_caps_idx_tensor.copy()
+
+    ex.cfg = cfg.replace(MINE_SEMIHARD=True, TEXT_ENC_BLOCK=0)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    ref_caps = ds.neg_caps_idx_tensor.copy()
+    ref_imgs = ds.neg_imgs_idx_tensor.copy()
+
+    ex.cfg = cfg.replace(MINE_SEMIHARD=True, TEXT_ENC_BLOCK=7)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    np.testing.assert_array_equal(ds.neg_caps_idx_tensor, ref_caps)
+    np.testing.assert_array_equal(ds.neg_imgs_idx_tensor, ref_imgs)
+    ex.cfg = cfg
+
+    # on random params scores are noisy relative to the positives, so the
+    # filter must bite somewhere (same rng stream -> same candidates)
+    assert (ref_caps != plain_caps).any()

@@ -289,3 +289,56 @@ def test_dropout_train_vs_eval():
     out_train = P.dropout(jax.random.PRNGKey(0), x, 0.5, train=True)
     vals = np.unique(np.asarray(out_train))
     assert set(np.round(vals, 4)).issubset({0.0, 2.0})
+
+
+# ---------------------------------------------------------------------------
+# head-last attention layout (ops/attention.py use_head_last)
+# ---------------------------------------------------------------------------
+
+def test_head_last_layout_matches_default():
+    """The head-last layout (scores in [B,Q,K,H], no head transposes, RSA
+    bias added in its natural [B,L,L,H] layout) must reproduce the default
+    path's eval outputs AND parameter gradients for every attention-family
+    op — it is a pure layout change."""
+    from mmnas_tpu.ops import attention as A
+
+    B, L, Ly = 2, 6, 9
+    x = rand(20, B, L, CFG.hsize)
+    y = rand(21, B, Ly, CFG.hsize)
+    mask = np.zeros((B, 1, 1, L), bool); mask[:, :, :, 4:] = True
+    ymask = np.zeros((B, 1, 1, Ly), bool); ymask[:, :, :, 7:] = True
+    rel = jnp.abs(rand(22, B, L, L, CFG.rel_size))
+    raw = jnp.abs(rand(23, B, L, L, 4))
+    w1 = P.linear_init(jax.random.PRNGKey(24), 4, CFG.rel_size)
+    rel_dict = {"raw": raw, "w1": w1["w"], "b1": w1["b"]}
+
+    cases = [
+        ("self_att_16", (x, None, None, jnp.asarray(mask), None)),
+        ("guided_att_16", (x, y, None, jnp.asarray(ymask), None)),
+        ("rel_self_att_16", (x, None, None, None, rel)),
+        ("rel_self_att_16", (x, None, None, None, rel_dict)),  # raw path
+        ("uniimg_att_32", (x, y, None, None, None)),
+    ]
+    for name, args in cases:
+        op = make_op(name, CFG, norm=True, residual=True)
+        params = op.init(RNG0)
+
+        def run(p):
+            out = op.apply(p, *args, False, _NoRng())
+            return jnp.sum(out * out), out
+
+        try:
+            A.use_head_last(False)
+            (ref_s, ref), ref_g = jax.value_and_grad(run, has_aux=True)(params)
+            A.use_head_last(True)
+            (got_s, got), got_g = jax.value_and_grad(run, has_aux=True)(params)
+        finally:
+            A.use_head_last(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+        for (kp, rg), (_, gg) in zip(
+                jax.tree_util.tree_leaves_with_path(ref_g),
+                jax.tree_util.tree_leaves_with_path(got_g)):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{name} grad {kp}")

@@ -108,9 +108,17 @@ def main():
                          "print the top device ops (use with SMALL sizes, "
                          "e.g. --eval_imgs 100 --train_imgs 500 — a "
                          "full-scale trace is GBs)")
+    ap.add_argument("--headlast", action="store_true",
+                    help="head-last attention layout (scores [B,Q,K,H], "
+                         "no head transposes — attention.use_head_last); "
+                         "the experiment targeting the ~30%% layout-copy "
+                         "share in the sweep profile")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.headlast:
+        from mmnas_tpu.ops import attention
+        attention.use_head_last(True)
 
     token_size = 1000
     # reference ITM settings (train_itm.py:140-196): 36 regions, 50 tokens
