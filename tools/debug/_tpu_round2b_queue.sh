@@ -7,13 +7,13 @@ mkdir -p logs
 echo "=== queue2b start $(date) ===" >> $LOG
 
 echo "--- profile weight step (rel threading fix) ---" >> $LOG
-python tools/profile_search.py weight 6 >> $LOG 2> >(tail -5 >> $LOG)
+python tools/profile_search.py weight 6 >> $LOG 2>&1
 
 echo "--- bench PALLAS=0 BS128 ---" >> $LOG
-BENCH_TRAIN=0 BENCH_PALLAS=0 python bench.py >> $LOG 2> >(tail -5 >> $LOG)
+BENCH_TRAIN=0 BENCH_PALLAS=0 python bench.py >> $LOG 2>&1
 
 echo "--- bench PALLAS=1 BS128 ---" >> $LOG
-BENCH_TRAIN=0 BENCH_PALLAS=1 python bench.py >> $LOG 2> >(tail -30 >> $LOG)
+BENCH_TRAIN=0 BENCH_PALLAS=1 python bench.py >> $LOG 2>&1
 
 echo "--- regen rehearsal data (reuse-combos splits) ---" >> $LOG
 python tools/make_rehearsal_data.py --out ./data_rehearsal >> $LOG 2>&1
@@ -22,9 +22,9 @@ for t in vqa vgd itm; do
 done
 
 echo "--- rehearsal vgd ---" >> $LOG
-python tools/rehearsal.py --task vgd --epochs 13 >> $LOG 2> >(tail -10 >> $LOG)
+python tools/rehearsal.py --task vgd --epochs 13 >> $LOG 2>&1
 
 echo "--- rehearsal itm ---" >> $LOG
-python tools/rehearsal.py --task itm --epochs 20 >> $LOG 2> >(tail -10 >> $LOG)
+python tools/rehearsal.py --task itm --epochs 20 >> $LOG 2>&1
 
 echo "=== queue2b done $(date) ===" >> $LOG

@@ -19,14 +19,14 @@ EOF
 
 echo "--- escape probe 0: MARGIN loss, reference lr 5e-4, 400 steps ---" >> $LOG
 LOSS=margin LR=0.0005 STEPS=400 python tools/debug/_tpu_itm_escape_probe.py \
-  >> $LOG 2> >(tail -12 >> $LOG)
+  >> $LOG 2>&1
 
 echo "--- escape probe 1: BCE lr 3e-5 flat, 800 steps ---" >> $LOG
 LR=0.00003 STEPS=800 python tools/debug/_tpu_itm_escape_probe.py \
-  >> $LOG 2> >(tail -12 >> $LOG)
+  >> $LOG 2>&1
 
 echo "--- escape probe 2: BCE lr 3e-5 -> x5 at step 300, 800 steps ---" >> $LOG
 LR=0.00003 STEPS=800 LR2_AT_STEP=300 LR2_R=5 \
-  python tools/debug/_tpu_itm_escape_probe.py >> $LOG 2> >(tail -12 >> $LOG)
+  python tools/debug/_tpu_itm_escape_probe.py >> $LOG 2>&1
 
 echo "=== queue3f done $(date) ===" >> $LOG

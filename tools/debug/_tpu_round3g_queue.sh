@@ -23,9 +23,9 @@ echo "--- ITM rehearsal: 40 epochs, two-stage lr, mining from ep 25 ---" >> $LOG
 python tools/rehearsal.py --task itm --epochs "${ITM_EPOCHS:-40}" \
   --itm_loss "${ITM_LOSS:-bce}" --itm_lr "${ITM_LR:-0.00003}" \
   --itm_decay_at "${ITM_DECAY_AT:-15}" --itm_decay_r "${ITM_DECAY_R:-5}" \
-  --itm_mine_from "${ITM_MINE_FROM:-25}" >> $LOG 2> >(tail -20 >> $LOG)
+  --itm_mine_from "${ITM_MINE_FROM:-25}" >> $LOG 2>&1
 
 echo "--- bench (headline, default config) ---" >> $LOG
-python bench.py >> $LOG 2> >(tail -8 >> $LOG)
+python bench.py >> $LOG 2>&1
 
 echo "=== queue3g done $(date) ===" >> $LOG

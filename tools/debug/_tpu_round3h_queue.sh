@@ -10,17 +10,17 @@ mkdir -p logs
 echo "=== queue3h start $(date) ===" >> $LOG
 
 echo "--- rehearsal: vqa (20 epochs) ---" >> $LOG
-python tools/rehearsal.py --task vqa --epochs 20 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task vqa --epochs 20 >> $LOG 2>&1
 
 echo "--- rehearsal: vgd (20 epochs) ---" >> $LOG
-python tools/rehearsal.py --task vgd --epochs 20 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task vgd --epochs 20 >> $LOG 2>&1
 
 echo "--- rehearsal: search_vqa (13 search epochs -> train 13) ---" >> $LOG
 python tools/rehearsal.py --task search_vqa --epochs 13 \
-  >> $LOG 2> >(tail -12 >> $LOG)
+  >> $LOG 2>&1
 
 echo "--- rehearsal: search_vgd (13 search epochs -> train 13) ---" >> $LOG
 python tools/rehearsal.py --task search_vgd --epochs 13 \
-  >> $LOG 2> >(tail -12 >> $LOG)
+  >> $LOG 2>&1
 
 echo "=== queue3h done $(date) ===" >> $LOG

@@ -25,28 +25,28 @@ done
 echo "relay OK $(date)" >> $LOG
 
 echo "--- rehearsal: vqa (20 epochs) ---" >> $LOG
-python tools/rehearsal.py --task vqa --epochs 20 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task vqa --epochs 20 >> $LOG 2>&1
 echo "--- rehearsal: vgd (20 epochs) ---" >> $LOG
-python tools/rehearsal.py --task vgd --epochs 20 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task vgd --epochs 20 >> $LOG 2>&1
 
 # the NEW contract: ITM search (mining inside search) -> genotype -> train
 # with the proven two-stage BCE schedule (round-3g result: R@1 100.0)
 echo "--- rehearsal: search_itm (16 search ep -> train 40) ---" >> $LOG
 python tools/rehearsal.py --task search_itm --epochs 40 \
   --itm_lr 0.00003 --itm_decay_at 15 --itm_decay_r 5 --itm_mine_from 25 \
-  >> $LOG 2> >(tail -20 >> $LOG)
+  >> $LOG 2>&1
 
 echo "--- rehearsal: itm (40 epochs, two-stage lr, mining from 25) ---" >> $LOG
 python tools/rehearsal.py --task itm --epochs 40 \
   --itm_lr 0.00003 --itm_decay_at 15 --itm_decay_r 5 --itm_mine_from 25 \
-  >> $LOG 2> >(tail -20 >> $LOG)
+  >> $LOG 2>&1
 
 echo "--- rehearsal: search_vqa (13 search ep -> train 13) ---" >> $LOG
-python tools/rehearsal.py --task search_vqa --epochs 13 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task search_vqa --epochs 13 >> $LOG 2>&1
 echo "--- rehearsal: search_vgd (13 search ep -> train 13) ---" >> $LOG
-python tools/rehearsal.py --task search_vgd --epochs 13 >> $LOG 2> >(tail -12 >> $LOG)
+python tools/rehearsal.py --task search_vgd --epochs 13 >> $LOG 2>&1
 
 echo "--- bench (headline, default config) ---" >> $LOG
-python bench.py >> $LOG 2> >(tail -8 >> $LOG)
+python bench.py >> $LOG 2>&1
 
 echo "=== queue3i done $(date) ===" >> $LOG
