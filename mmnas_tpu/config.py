@@ -104,7 +104,21 @@ class Cfg:
                                       # noise that mines FALSE negatives
                                       # (docs/evidence/
                                       # rehearsal_itm_scaled.json: mining
-                                      # pass spikes loss 0.7->3.75)
+                                      # pass spikes loss 0.7->3.75).
+                                      # MEASURED NEGATIVE at 30% caption
+                                      # noise (rehearsal_itm_scaled_
+                                      # semihard.json): the own-positive
+                                      # threshold is itself noisy there
+    MINE_SKIP_TOP: int = 0            # beyond-reference: drop each item's
+                                      # k top-scored mined candidates and
+                                      # keep the next NEG_HARDSIZE. Under
+                                      # label noise false negatives (true
+                                      # matches) concentrate at rank 1-2;
+                                      # skipping them keeps the hard band
+                                      # below without consulting the noisy
+                                      # own-positive score (contrast
+                                      # MINE_SEMIHARD). 0 = reference
+                                      # parity (top-H, train_itm.py:299-363)
     ITM_DOUBLE_POS: bool = True       # reference BCE_Loss counts loss_pos
                                       # twice (itm_loss.py:22) — kept for
                                       # parity, flag to disable
@@ -178,6 +192,17 @@ class Cfg:
             if getattr(self, knob) < 0:
                 raise ValueError(f"{knob} must be >= 0 (0 = default), "
                                  f"got {getattr(self, knob)}")
+        # the mining sweeps select candidate ranks [skip, skip+H) out of R
+        # drawn candidates — an out-of-range window would silently return
+        # fewer than NEG_HARDSIZE negatives per item
+        if (self.MINE_SKIP_TOP < 0
+                or self.MINE_SKIP_TOP + self.NEG_HARDSIZE
+                > self.NEG_RANDSIZE):
+            raise ValueError(
+                f"MINE_SKIP_TOP must satisfy 0 <= skip <= "
+                f"NEG_RANDSIZE-NEG_HARDSIZE "
+                f"({self.NEG_RANDSIZE}-{self.NEG_HARDSIZE}), "
+                f"got {self.MINE_SKIP_TOP}")
         if self.TEXT_ENC_CHUNK < 1:
             raise ValueError(f"TEXT_ENC_CHUNK must be >= 1, "
                              f"got {self.TEXT_ENC_CHUNK}")
@@ -363,6 +388,12 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                             "tie/beat the item's strongest own positive "
                             "(robust to label noise; off = reference "
                             "parity)")
+        p.add_argument("--MINE_SKIP_TOP", dest="MINE_SKIP_TOP",
+                       default=0, type=int,
+                       help="drop each item's k top-scored mined "
+                            "candidates, keep the next NEG_HARDSIZE "
+                            "(false negatives under label noise rank "
+                            "first; 0 = reference parity)")
     return p
 
 

@@ -109,7 +109,7 @@ def _semihard_mask(s, pos_rows):
 
 
 def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
-               rng, R, H, group, pos=None):
+               rng, R, H, group, pos=None, skip=0):
     """One hard-negative mining sweep (train_itm.py:299-363): for each of
     n_items, score R random candidates and keep the top H by score.
     per_img=True: items are images, candidates captions; False: items are
@@ -119,7 +119,9 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
     encoded-caption table on device; see mine_sweep_blocked for the
     streamed variant at corpora where it does not fit.
     pos (optional, [n_items] float32): per-item strongest-own-positive
-    scores for semi-hard filtering (MINE_SEMIHARD; see _semihard_mask)."""
+    scores for semi-hard filtering (MINE_SEMIHARD; see _semihard_mask).
+    skip (MINE_SKIP_TOP): select candidate ranks [skip, skip+H) instead
+    of the top H — under label noise false negatives rank first."""
     cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
                            rng, R, group)
     out = np.zeros((n_items, H), np.int64)
@@ -130,7 +132,7 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
         s = np.asarray(dev)[:g * R].reshape(g, R)
         if pos is not None:
             s = _semihard_mask(s, pos[idxs, None])
-        order = np.argsort(-s, axis=-1)[:, :H]
+        order = np.argsort(-s, axis=-1)[:, skip:skip + H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
     for start in range(0, n_items, group):
@@ -153,7 +155,7 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
 
 def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
                        n_cand_pool, per_img, caps_per_img, rng, R, H, group,
-                       pos=None):
+                       pos=None, skip=0):
     """Caption-block-streamed mining sweep for reference-scale corpora
     (Flickr30K train: 145k captions -> a full encoded-text table is ~15GB
     bf16 and cannot be HBM-resident next to the image corpus; the
@@ -208,7 +210,7 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
         scores = scores.reshape(n_items, R)
         if pos is not None:
             scores = _semihard_mask(scores, pos[:, None])
-        order = np.argsort(-scores, axis=-1)[:, :H]
+        order = np.argsort(-scores, axis=-1)[:, skip:skip + H]
         return np.take_along_axis(cand, order, axis=1)
 
     def drain():
@@ -216,7 +218,7 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
         s = np.asarray(dev)[:g * R].reshape(g, R)
         if pos is not None:
             s = _semihard_mask(s, pos[idxs, None])
-        order = np.argsort(-s, axis=-1)[:, :H]
+        order = np.argsort(-s, axis=-1)[:, skip:skip + H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
     for bstart in range(0, n_items, block):
@@ -519,10 +521,10 @@ class Execution(VqaExecution):
                 pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep(
                 score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
-                pos=pos_imgs)
+                pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
             dataset.neg_imgs_idx_tensor = mine_sweep(
                 score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
-                pos=pos_caps)
+                pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
             return
 
         # caption-block streaming: at Flickr30K train scale the full
@@ -543,10 +545,10 @@ class Execution(VqaExecution):
             pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
         dataset.neg_caps_idx_tensor = mine_sweep_blocked(
             score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-            rng, R, H, group, pos=pos_imgs)
+            rng, R, H, group, pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
         dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
             score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-            rng, R, H, group, pos=pos_caps)
+            rng, R, H, group, pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
 
     # ----------------------------------------------------------------- train
     def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):

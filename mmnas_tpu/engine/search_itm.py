@@ -188,10 +188,10 @@ class SearchExecution(SearchBase):
                 pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep(
                 score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
-                pos=pos_imgs)
+                pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
             dataset.neg_imgs_idx_tensor = mine_sweep(
                 score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
-                pos=pos_caps)
+                pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
         else:
             # caption-block streaming at train scale (engine/itm.py)
             def encode_window(start):
@@ -211,10 +211,10 @@ class SearchExecution(SearchBase):
                 pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
             dataset.neg_caps_idx_tensor = mine_sweep_blocked(
                 score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-                rng, R, H, group, pos=pos_imgs)
+                rng, R, H, group, pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
             dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
                 score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-                rng, R, H, group, pos=pos_caps)
+                rng, R, H, group, pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
         if is_writer():
             print(f"search mining: {time.time() - t0:.1f}s")
 

@@ -37,3 +37,14 @@ def test_itm_mine_semihard_flag():
     assert cfg.MINE_SEMIHARD is True
     cfg = _parse("itm", ["--SYNTH", "--MINE_SEMIHARD"], search=True)
     assert cfg.MINE_SEMIHARD is True
+
+
+def test_itm_mine_skip_top_flag():
+    """--MINE_SKIP_TOP plumbs through both the train and search ITM CLIs
+    and defaults 0 (reference-parity top-H mining)."""
+    cfg = _parse("itm", ["--SYNTH"])
+    assert cfg.MINE_SKIP_TOP == 0
+    cfg = _parse("itm", ["--SYNTH", "--MINE_SKIP_TOP", "2"])
+    assert cfg.MINE_SKIP_TOP == 2
+    cfg = _parse("itm", ["--SYNTH", "--MINE_SKIP_TOP", "2"], search=True)
+    assert cfg.MINE_SKIP_TOP == 2

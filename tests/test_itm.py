@@ -322,6 +322,60 @@ def test_semihard_mine_sweep_filters_false_negatives():
         assert j not in set(mined[j].tolist())
 
 
+def test_skiptop_mine_sweep_drops_hardest_ranks():
+    """MINE_SKIP_TOP unit semantics on a planted score table: the sweep
+    keeps candidate ranks [skip, skip+H) — the k hardest (likely false
+    negatives under label noise) are dropped without consulting positive
+    scores — and both sweep variants agree bit for bit."""
+    from mmnas_tpu.engine.itm import mine_sweep, mine_sweep_blocked
+
+    n_caps, n_imgs = 8, 16  # caps_per_img=1; items are captions (per_img=0)
+
+    def score_pairs(ii, cc):  # score = image index: rank == 15 - index
+        return np.asarray(ii, np.float32)
+
+    kw = dict(n_items=n_caps, n_cand_pool=n_imgs, per_img=False,
+              caps_per_img=1, R=8, H=2, group=4)
+    plain = mine_sweep(score_pairs, rng=np.random.RandomState(5), **kw)
+    skipped = mine_sweep(score_pairs, rng=np.random.RandomState(5),
+                         skip=2, **kw)
+    assert skipped.shape == plain.shape
+    # same draws, deterministic scores: per item, skipping 2 means the
+    # mined pair equals ranks 2..3 of the drawn candidate set
+    cand_rng = np.random.RandomState(5)
+    from mmnas_tpu.engine.itm import draw_candidates
+    cand = draw_candidates(n_caps, n_imgs, False, 1, cand_rng,
+                           kw["R"], kw["group"])
+    for j in range(n_caps):
+        by_score = cand[j][np.argsort(-cand[j].astype(np.float32))]
+        np.testing.assert_array_equal(plain[j], by_score[:2])
+        np.testing.assert_array_equal(skipped[j], by_score[2:4])
+
+    def encode_window(start):
+        return start
+
+    def score_win(te, ii, cc_rel):
+        return score_pairs(ii, cc_rel)
+
+    blocked = mine_sweep_blocked(score_win, encode_window, block=3,
+                                 rng=np.random.RandomState(5), skip=2, **kw)
+    np.testing.assert_array_equal(blocked, skipped)
+
+
+def test_mine_skip_top_cfg_validation():
+    """MINE_SKIP_TOP windows past NEG_RANDSIZE would silently under-fill
+    the neg tensors — Cfg must reject them at construction."""
+    import pytest
+    from mmnas_tpu.config import Cfg
+
+    cfg = Cfg(TASK="itm", SYNTH=True, MINE_SKIP_TOP=2)
+    assert cfg.MINE_SKIP_TOP == 2
+    with pytest.raises(ValueError):
+        Cfg(TASK="itm", SYNTH=True, MINE_SKIP_TOP=-1)
+    with pytest.raises(ValueError):
+        Cfg(TASK="itm", SYNTH=True, MINE_SKIP_TOP=60)  # 60+5 > R=64
+
+
 def test_positive_scores_tiling_and_blocked_parity():
     """positive_scores must return score(own image, caption) for every
     caption across tile padding, and the window-streamed variant must be

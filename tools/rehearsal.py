@@ -122,7 +122,7 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0,
 def run_itm(data_root: str, epochs: int, hsize: int = 0,
             lr: float = 0.0, mine_from: int = 0,
             decay_at: int = 0, decay_r: float = 0.0,
-            loss: str = "bce", semihard: bool = False,
+            loss: str = "bce", semihard: bool = False, skiptop: int = 0,
             arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
             version: str = "rehearsal_itm"):
     from mmnas_tpu.config import Cfg
@@ -152,7 +152,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
               NET_LR_DECAY_LIST=decay_list,
               NET_LR_DECAY_R=decay_r or 0.2,
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
-              MINE_SEMIHARD=semihard,
+              MINE_SEMIHARD=semihard, MINE_SKIP_TOP=skiptop,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION=version,
               ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
@@ -185,6 +185,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
            "lr_decay_list": list(cfg.NET_LR_DECAY_LIST),
            "lr_decay_r": cfg.NET_LR_DECAY_R,
            "mine_semihard": cfg.MINE_SEMIHARD,
+           "mine_skip_top": cfg.MINE_SKIP_TOP,
            "chance_floors": floors,
            "cfg": _knobs(cfg),
            "train_loss_per_example": [round(h, 4) for h in history]}
@@ -282,7 +283,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                    alpha_mode: str = "full", lr: float = 0.0,
                    mine_from: int = 0, decay_at: int = 0,
                    decay_r: float = 0.0, loss: str = "bce",
-                   semihard: bool = False):
+                   semihard: bool = False, skiptop: int = 0):
     """search->genotype->train contract for the ITM task family
     (search_itm.py:382-386-equivalent genotype dump -> train_itm.py
     --ARCH_PATH), completing the product-rehearsal trilogy: bilevel
@@ -308,7 +309,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                      DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36,
                      SCORES_LOSS=loss, NET_LR_BASE=lr or 0.00003,
                      NEG_START_EPOCH=search_mine_from, NEG_NEPOCH=2,
-                     MINE_SEMIHARD=semihard,
+                     MINE_SEMIHARD=semihard, MINE_SKIP_TOP=skiptop,
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      ALPHA_BINARY_MODE=alpha_mode,
@@ -327,6 +328,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
     trained = run_itm(data_root, epochs, hsize=hsize, lr=lr,
                       mine_from=mine_from, decay_at=decay_at,
                       decay_r=decay_r, loss=loss, semihard=semihard,
+                      skiptop=skiptop,
                       arch_path=arch_json, geno_epoch=search_epochs,
                       version="rehearsal_search_itm-train")
     return {"metric": "search->train itm_R@K(test)",
@@ -364,7 +366,12 @@ def main():
     p.add_argument("--itm_semihard", default=False, action="store_true",
                    help="MINE_SEMIHARD: filter mined negatives that "
                         "tie/beat the item's strongest own positive "
-                        "(beyond-reference noise robustness)")
+                        "(beyond-reference noise robustness; measured "
+                        "NEGATIVE at 30%% caption noise — see STATUS.md)")
+    p.add_argument("--itm_mine_skiptop", default=0, type=int,
+                   help="MINE_SKIP_TOP: drop each item's k top-scored "
+                        "mined candidates, keep the next NEG_HARDSIZE "
+                        "(false negatives under label noise rank first)")
     p.add_argument("--search_alpha_mode", default="full",
                    choices=["full", "two"],
                    help="arch-step gate mode for the search tasks "
@@ -398,7 +405,8 @@ def main():
         if task == "itm":
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
-                  "loss": args.itm_loss, "semihard": args.itm_semihard}
+                  "loss": args.itm_loss, "semihard": args.itm_semihard,
+                  "skiptop": args.itm_mine_skiptop}
         elif task == "search_vqa":
             kw = {"alpha_mode": args.search_alpha_mode,
                   "kpath": args.search_kpath}
@@ -408,7 +416,8 @@ def main():
             kw = {"alpha_mode": args.search_alpha_mode,
                   "lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
-                  "loss": args.itm_loss, "semihard": args.itm_semihard}
+                  "loss": args.itm_loss, "semihard": args.itm_semihard,
+                  "skiptop": args.itm_mine_skiptop}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
@@ -426,6 +435,8 @@ def main():
                 if task == "search_vqa" and args.search_kpath > 1 else "")
         if task == "itm" and args.itm_semihard:
             ktag += "_semihard"
+        if task == "itm" and args.itm_mine_skiptop:
+            ktag += "_skiptop%d" % args.itm_mine_skiptop
         out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}{ktag}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
