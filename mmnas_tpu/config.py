@@ -119,6 +119,21 @@ class Cfg:
                                       # own-positive score (contrast
                                       # MINE_SEMIHARD). 0 = reference
                                       # parity (top-H, train_itm.py:299-363)
+    MINE_NOISE_Q: float = 0.0         # beyond-reference noise-robust mining:
+                                      # pool own-positive scores CORPUS-WIDE
+                                      # and flag the bottom-q fraction of
+                                      # captions as label-noise suspects
+                                      # (a corrupted caption's own pair
+                                      # scores at stranger level, so ranking
+                                      # captions against each other is
+                                      # robust where the per-item semihard
+                                      # threshold is not). Flagged captions
+                                      # are dropped from every image's
+                                      # candidate pool (they may be someone
+                                      # else's true match) and get RANDOM
+                                      # instead of mined image negatives
+                                      # (their top-scored candidate is
+                                      # likely their true image). 0 = off
     ITM_DOUBLE_POS: bool = True       # reference BCE_Loss counts loss_pos
                                       # twice (itm_loss.py:22) — kept for
                                       # parity, flag to disable
@@ -206,6 +221,21 @@ class Cfg:
         if self.TEXT_ENC_CHUNK < 1:
             raise ValueError(f"TEXT_ENC_CHUNK must be >= 1, "
                              f"got {self.TEXT_ENC_CHUNK}")
+        if not 0.0 <= self.MINE_NOISE_Q < 1.0:
+            raise ValueError(f"MINE_NOISE_Q must be in [0, 1), "
+                             f"got {self.MINE_NOISE_Q}")
+        # the noise filters are alternative hypotheses, not composable
+        # layers: semihard sinks candidates to -inf, so a rank window
+        # [skip, skip+H) over an under-filled pool would RE-include masked
+        # candidates, and noise-q changes what both operate on (ADVICE r4)
+        filters = [n for n, on in (("MINE_SEMIHARD", self.MINE_SEMIHARD),
+                                   ("MINE_SKIP_TOP", self.MINE_SKIP_TOP > 0),
+                                   ("MINE_NOISE_Q", self.MINE_NOISE_Q > 0))
+                   if on]
+        if len(filters) > 1:
+            raise ValueError(
+                "at most one mining noise filter may be active, got "
+                + "+".join(filters))
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -394,6 +424,13 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                             "candidates, keep the next NEG_HARDSIZE "
                             "(false negatives under label noise rank "
                             "first; 0 = reference parity)")
+        p.add_argument("--MINE_NOISE_Q", dest="MINE_NOISE_Q",
+                       default=0.0, type=float,
+                       help="flag the bottom-q fraction of captions by "
+                            "corpus-pooled own-positive score as label-"
+                            "noise suspects: drop them from candidate "
+                            "pools, give them random image negatives "
+                            "(0 = reference parity)")
     return p
 
 

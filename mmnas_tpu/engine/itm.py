@@ -109,7 +109,7 @@ def _semihard_mask(s, pos_rows):
 
 
 def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
-               rng, R, H, group, pos=None, skip=0):
+               rng, R, H, group, pos=None, skip=0, drop=None):
     """One hard-negative mining sweep (train_itm.py:299-363): for each of
     n_items, score R random candidates and keep the top H by score.
     per_img=True: items are images, candidates captions; False: items are
@@ -121,7 +121,10 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
     pos (optional, [n_items] float32): per-item strongest-own-positive
     scores for semi-hard filtering (MINE_SEMIHARD; see _semihard_mask).
     skip (MINE_SKIP_TOP): select candidate ranks [skip, skip+H) instead
-    of the top H — under label noise false negatives rank first."""
+    of the top H — under label noise false negatives rank first.
+    drop (optional, [n_cand_pool] bool): candidates excluded corpus-wide
+    (MINE_NOISE_Q label-noise suspects) — sunk to -inf like semihard, so
+    items whose every candidate is dropped keep their draw order."""
     cand = draw_candidates(n_items, n_cand_pool, per_img, caps_per_img,
                            rng, R, group)
     out = np.zeros((n_items, H), np.int64)
@@ -129,9 +132,11 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
 
     def drain():
         idxs, g, dev = pend.popleft()
-        s = np.asarray(dev)[:g * R].reshape(g, R)
+        s = np.asarray(dev)[:g * R].reshape(g, R).astype(np.float32)
         if pos is not None:
             s = _semihard_mask(s, pos[idxs, None])
+        if drop is not None:
+            s[drop[cand[idxs]]] = -np.inf
         order = np.argsort(-s, axis=-1)[:, skip:skip + H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
@@ -155,7 +160,7 @@ def mine_sweep(score_pairs, n_items, n_cand_pool, per_img, caps_per_img,
 
 def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
                        n_cand_pool, per_img, caps_per_img, rng, R, H, group,
-                       pos=None, skip=0):
+                       pos=None, skip=0, drop=None):
     """Caption-block-streamed mining sweep for reference-scale corpora
     (Flickr30K train: 145k captions -> a full encoded-text table is ~15GB
     bf16 and cannot be HBM-resident next to the image corpus; the
@@ -210,14 +215,18 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
         scores = scores.reshape(n_items, R)
         if pos is not None:
             scores = _semihard_mask(scores, pos[:, None])
+        if drop is not None:
+            scores[drop[cand]] = -np.inf
         order = np.argsort(-scores, axis=-1)[:, skip:skip + H]
         return np.take_along_axis(cand, order, axis=1)
 
     def drain():
         idxs, g, dev = pend.popleft()
-        s = np.asarray(dev)[:g * R].reshape(g, R)
+        s = np.asarray(dev)[:g * R].reshape(g, R).astype(np.float32)
         if pos is not None:
             s = _semihard_mask(s, pos[idxs, None])
+        if drop is not None:
+            s[drop[cand[idxs]]] = -np.inf
         order = np.argsort(-s, axis=-1)[:, skip:skip + H]
         out[idxs] = np.take_along_axis(cand[idxs], order, axis=1)
 
@@ -239,6 +248,84 @@ def mine_sweep_blocked(score_pairs_win, encode_window, block, n_items,
     while pend:
         drain()
     return out
+
+
+def _noise_suspects(pos_caps, q):
+    """MINE_NOISE_Q: flag the floor(q*n) captions with the LOWEST own-
+    positive scores, pooled over the WHOLE corpus, as label-noise suspects.
+    A corrupted caption's own pair scores at stranger level, so ranking
+    captions against each other separates cleanly where the per-item
+    semihard threshold (compare candidates to one noisy anchor) does not —
+    the falsified variant in rehearsal_itm_scaled_semihard.json."""
+    flag = np.zeros(len(pos_caps), bool)
+    flag[np.argsort(pos_caps, kind="stable")[:int(len(pos_caps) * q)]] = True
+    return flag
+
+
+def _randomize_suspect_negs(neg_imgs, suspect, n_imgs, cpi, rng):
+    """Replace suspect captions' mined image negatives with uniform draws
+    excluding the own image (in place): a corrupted caption's top-scored
+    candidate is likely its TRUE subject image, so mining it as a hard
+    negative trains against a perfect match."""
+    idxs = np.where(suspect)[0]
+    if not len(idxs):
+        return
+    own = (idxs // cpi)[:, None]
+    c = rng.randint(0, n_imgs, (len(idxs), neg_imgs.shape[1]))
+    bad = c == own
+    while bad.any():
+        c[bad] = rng.randint(0, n_imgs, int(bad.sum()))
+        bad = c == own
+    neg_imgs[idxs] = c
+
+
+def run_mine_sweeps(cfg, dataset, rng, group, score_pairs=None,
+                    blocked_ctx=None):
+    """Shared mining driver for the train and search engines: computes the
+    optional noise-filter inputs (MINE_SEMIHARD anchors / MINE_NOISE_Q
+    suspect flags — mutually exclusive, config-validated), runs both sweep
+    directions, and post-randomizes suspects' image negatives. Exactly one
+    of score_pairs (whole encoded-text table resident) or
+    blocked_ctx = (score_pairs_win, encode_window, block) must be given.
+    rng consumption matches the unfiltered reference sweep exactly (the
+    positive-score passes draw nothing), so filters stay rng-comparable."""
+    n_caps = len(dataset)
+    cpi = dataset.CAPS_PER_IMG
+    n_imgs = n_caps // cpi
+    R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
+    need_pos = cfg.MINE_SEMIHARD or cfg.MINE_NOISE_Q > 0
+    pos_imgs = pos_caps = suspect = None
+    if blocked_ctx is None:
+        if need_pos:
+            pos_caps = positive_scores(score_pairs, n_caps, cpi, group * R)
+
+        def sweep(*a, **kw):
+            return mine_sweep(score_pairs, *a, **kw)
+    else:
+        score_win, encode_window, block = blocked_ctx
+        if need_pos:
+            pos_caps = positive_scores_blocked(
+                score_win, encode_window, block, n_caps, cpi, group * R)
+
+        def sweep(*a, **kw):
+            return mine_sweep_blocked(
+                score_win, encode_window, block, *a, **kw)
+    if cfg.MINE_NOISE_Q > 0:
+        suspect = _noise_suspects(pos_caps, cfg.MINE_NOISE_Q)
+        pos_caps = None  # corpus-pooled flags replace the per-item masks
+    elif cfg.MINE_SEMIHARD:
+        pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
+    else:
+        pos_caps = None
+    dataset.neg_caps_idx_tensor = sweep(
+        n_imgs, n_caps, True, cpi, rng, R, H, group,
+        pos=pos_imgs, skip=cfg.MINE_SKIP_TOP, drop=suspect)
+    dataset.neg_imgs_idx_tensor = sweep(
+        n_caps, n_imgs, False, cpi, rng, R, H, group,
+        pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
+    if suspect is not None:
+        _randomize_suspect_negs(dataset.neg_imgs_idx_tensor, suspect,
+                                n_imgs, cpi, rng)
 
 
 def positive_scores(score_pairs, n_caps, caps_per_img, tile):
@@ -498,12 +585,9 @@ class Execution(VqaExecution):
         dataset's neg index tensors in place."""
         cfg = self.cfg
         n_caps = len(dataset)
-        n_imgs = n_caps // dataset.CAPS_PER_IMG
-        R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)  # items per jitted scorer call
         block = cfg.TEXT_ENC_BLOCK
-        cpi = dataset.CAPS_PER_IMG
 
         if not block or block >= n_caps:
             text_enc = self.encode_corpus_text(net, params, corpus)
@@ -514,17 +598,8 @@ class Execution(VqaExecution):
                     lambda a, b: scorer(params, corpus, text_enc, a, b),
                     ii, cc)
 
-            pos_imgs = pos_caps = None
-            if cfg.MINE_SEMIHARD:
-                pos_caps = positive_scores(score_pairs, n_caps, cpi,
-                                           group * R)
-                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
-            dataset.neg_caps_idx_tensor = mine_sweep(
-                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
-                pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
-            dataset.neg_imgs_idx_tensor = mine_sweep(
-                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
-                pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
+            run_mine_sweeps(cfg, dataset, rng, group,
+                            score_pairs=score_pairs)
             return
 
         # caption-block streaming: at Flickr30K train scale the full
@@ -538,17 +613,8 @@ class Execution(VqaExecution):
                 self.mesh, self.n_shards,
                 lambda a, b: scorer(params, corpus, te, a, b), ii, cc)
 
-        pos_imgs = pos_caps = None
-        if cfg.MINE_SEMIHARD:
-            pos_caps = positive_scores_blocked(
-                score_win, encode_window, block, n_caps, cpi, group * R)
-            pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
-        dataset.neg_caps_idx_tensor = mine_sweep_blocked(
-            score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-            rng, R, H, group, pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
-        dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
-            score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-            rng, R, H, group, pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
+        run_mine_sweeps(cfg, dataset, rng, group,
+                        blocked_ctx=(score_win, encode_window, block))
 
     # ----------------------------------------------------------------- train
     def train(self, train_loader: Loader, eval_loader: Optional[Loader] = None):

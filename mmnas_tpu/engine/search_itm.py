@@ -21,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmnas_tpu.engine.itm import (
-    mine_sweep, mine_sweep_blocked, positive_scores,
-    positive_scores_blocked, recall_metrics, score_matrix_sweep,
+    recall_metrics, run_mine_sweeps, score_matrix_sweep,
     sharded_pair_call_async,
 )
 from mmnas_tpu.engine.search import SearchExecution as SearchBase
@@ -164,9 +163,6 @@ class SearchExecution(SearchBase):
 
         t0 = time.time()
         n_caps = len(dataset)
-        n_imgs = n_caps // dataset.CAPS_PER_IMG
-        cpi = dataset.CAPS_PER_IMG
-        R, H = cfg.NEG_RANDSIZE, cfg.NEG_HARDSIZE
         rng = np.random.RandomState(cfg.SEED * 97 + epoch)
         group = max(1, cfg.NEG_BATCHSIZE)
         block = cfg.TEXT_ENC_BLOCK
@@ -181,17 +177,8 @@ class SearchExecution(SearchBase):
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         text_enc, a, b), ii, cc)
 
-            pos_imgs = pos_caps = None
-            if cfg.MINE_SEMIHARD:
-                pos_caps = positive_scores(score_pairs, n_caps, cpi,
-                                           group * R)
-                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
-            dataset.neg_caps_idx_tensor = mine_sweep(
-                score_pairs, n_imgs, n_caps, True, cpi, rng, R, H, group,
-                pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
-            dataset.neg_imgs_idx_tensor = mine_sweep(
-                score_pairs, n_caps, n_imgs, False, cpi, rng, R, H, group,
-                pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
+            run_mine_sweeps(cfg, dataset, rng, group,
+                            score_pairs=score_pairs)
         else:
             # caption-block streaming at train scale (engine/itm.py)
             def encode_window(start):
@@ -204,17 +191,8 @@ class SearchExecution(SearchBase):
                     lambda a, b: scorer(params, alpha, corpus, idx,
                                         te, a, b), ii, cc)
 
-            pos_imgs = pos_caps = None
-            if cfg.MINE_SEMIHARD:
-                pos_caps = positive_scores_blocked(
-                    score_win, encode_window, block, n_caps, cpi, group * R)
-                pos_imgs = pos_caps.reshape(n_imgs, cpi).max(axis=1)
-            dataset.neg_caps_idx_tensor = mine_sweep_blocked(
-                score_win, encode_window, block, n_imgs, n_caps, True, cpi,
-                rng, R, H, group, pos=pos_imgs, skip=cfg.MINE_SKIP_TOP)
-            dataset.neg_imgs_idx_tensor = mine_sweep_blocked(
-                score_win, encode_window, block, n_caps, n_imgs, False, cpi,
-                rng, R, H, group, pos=pos_caps, skip=cfg.MINE_SKIP_TOP)
+            run_mine_sweeps(cfg, dataset, rng, group,
+                            blocked_ctx=(score_win, encode_window, block))
         if is_writer():
             print(f"search mining: {time.time() - t0:.1f}s")
 

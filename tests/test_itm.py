@@ -434,3 +434,104 @@ def test_semihard_blocked_mining_matches_unblocked(itm_setup):
     # on random params scores are noisy relative to the positives, so the
     # filter must bite somewhere (same rng stream -> same candidates)
     assert (ref_caps != plain_caps).any()
+
+
+def test_noise_q_mine_sweeps_flag_and_randomize():
+    """MINE_NOISE_Q unit semantics on a planted score table: the bottom-q
+    captions by corpus-pooled own-positive score are (a) excluded from
+    every image's candidate pool and (b) given random image negatives in
+    place of their mined ones; clean captions' mined negatives are
+    bit-identical to the unfiltered sweep (same rng stream)."""
+    from mmnas_tpu.engine.itm import run_mine_sweeps
+
+    n_imgs, cpi = 6, 2
+    n_caps = n_imgs * cpi
+    suspects = {0, 7}  # planted corrupted captions
+
+    def score_pairs(ii, cc):
+        ii, cc = np.asarray(ii), np.asarray(cc)
+        own = (cc // cpi) == ii
+        pos = np.where(np.isin(cc, list(suspects)), 1.0, 100.0) + cc * 0.01
+        cand = (ii * 37 + cc * 11) % 97
+        # corrupted captions look like someone's true match -> score high
+        cand = cand + np.isin(cc, list(suspects)) * 500.0
+        return np.where(own, pos, cand).astype(np.float32)
+
+    class Stub:
+        CAPS_PER_IMG = cpi
+
+        def __len__(self):
+            return n_caps
+
+    class CfgStub:
+        NEG_RANDSIZE, NEG_HARDSIZE = 8, 2
+        MINE_SEMIHARD, MINE_SKIP_TOP, MINE_NOISE_Q = False, 0, 0.0
+
+    ds, plain_cfg = Stub(), CfgStub()
+    run_mine_sweeps(plain_cfg, ds, np.random.RandomState(5), group=4,
+                    score_pairs=score_pairs)
+    plain_caps = ds.neg_caps_idx_tensor.copy()
+    plain_imgs = ds.neg_imgs_idx_tensor.copy()
+    # unfiltered: the high-scoring suspect captions get mined somewhere
+    assert np.isin(plain_caps, list(suspects)).any()
+
+    q_cfg = CfgStub()
+    q_cfg.MINE_NOISE_Q = 2.0 / n_caps + 1e-9  # flag exactly the bottom 2
+    run_mine_sweeps(q_cfg, ds, np.random.RandomState(5), group=4,
+                    score_pairs=score_pairs)
+    # (a) suspects never appear as anyone's caption negative
+    assert not np.isin(ds.neg_caps_idx_tensor, list(suspects)).any()
+    # (b) suspect captions' image negatives are re-randomized but still
+    # exclude the own image; clean captions keep the identical mined rows
+    for j in range(n_caps):
+        row = ds.neg_imgs_idx_tensor[j]
+        assert (j // cpi) not in set(row.tolist())
+        if j not in suspects:
+            np.testing.assert_array_equal(row, plain_imgs[j])
+    assert ds.neg_imgs_idx_tensor.shape == plain_imgs.shape
+
+
+def test_noise_q_blocked_mining_matches_unblocked(itm_setup):
+    """MINE_NOISE_Q through the engine: the caption-block-streamed sweep
+    must produce bit-identical neg tensors to the resident-table sweep,
+    and the filter must change the mined caption set vs unfiltered."""
+    cfg, ex, ds, net, params = itm_setup
+    scorer = ex.cached_step("scorer", net, ex.make_pair_scorer)
+    corpus = ex.device_corpus(ds)
+
+    ex.cfg = cfg.replace(TEXT_ENC_BLOCK=0)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    plain_caps = ds.neg_caps_idx_tensor.copy()
+
+    ex.cfg = cfg.replace(MINE_NOISE_Q=0.3, TEXT_ENC_BLOCK=0)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    ref_caps = ds.neg_caps_idx_tensor.copy()
+    ref_imgs = ds.neg_imgs_idx_tensor.copy()
+
+    ex.cfg = cfg.replace(MINE_NOISE_Q=0.3, TEXT_ENC_BLOCK=7)
+    ex.mine_hard_negatives(net, params, ds, scorer, corpus, epoch=3)
+    np.testing.assert_array_equal(ds.neg_caps_idx_tensor, ref_caps)
+    np.testing.assert_array_equal(ds.neg_imgs_idx_tensor, ref_imgs)
+    ex.cfg = cfg
+
+    # 30% of captions dropped from the pools must change mined sets
+    assert (ref_caps != plain_caps).any()
+
+
+def test_mine_noise_q_cfg_validation():
+    """MINE_NOISE_Q range check + the mining noise filters are mutually
+    exclusive (ADVICE r4: semihard's -inf sink re-enters skip-top's rank
+    window when the pool under-fills)."""
+    import pytest
+    from mmnas_tpu.config import Cfg
+
+    assert Cfg(TASK="itm", SYNTH=True, MINE_NOISE_Q=0.3).MINE_NOISE_Q == 0.3
+    with pytest.raises(ValueError):
+        Cfg(TASK="itm", SYNTH=True, MINE_NOISE_Q=1.0)
+    with pytest.raises(ValueError):
+        Cfg(TASK="itm", SYNTH=True, MINE_NOISE_Q=-0.1)
+    for bad in ({"MINE_SEMIHARD": True, "MINE_SKIP_TOP": 2},
+                {"MINE_SEMIHARD": True, "MINE_NOISE_Q": 0.3},
+                {"MINE_SKIP_TOP": 2, "MINE_NOISE_Q": 0.3}):
+        with pytest.raises(ValueError):
+            Cfg(TASK="itm", SYNTH=True, **bad)

@@ -123,6 +123,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
             lr: float = 0.0, mine_from: int = 0,
             decay_at: int = 0, decay_r: float = 0.0,
             loss: str = "bce", semihard: bool = False, skiptop: int = 0,
+            noise_q: float = 0.0,
             arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
             version: str = "rehearsal_itm"):
     from mmnas_tpu.config import Cfg
@@ -153,6 +154,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
               NET_LR_DECAY_R=decay_r or 0.2,
               NEG_START_EPOCH=mine_from, NEG_NEPOCH=2,
               MINE_SEMIHARD=semihard, MINE_SKIP_TOP=skiptop,
+              MINE_NOISE_Q=noise_q,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
               MAX_EPOCH=epochs, SEED=44, VERSION=version,
               ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
@@ -186,6 +188,7 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
            "lr_decay_r": cfg.NET_LR_DECAY_R,
            "mine_semihard": cfg.MINE_SEMIHARD,
            "mine_skip_top": cfg.MINE_SKIP_TOP,
+           "mine_noise_q": cfg.MINE_NOISE_Q,
            "chance_floors": floors,
            "cfg": _knobs(cfg),
            "train_loss_per_example": [round(h, 4) for h in history]}
@@ -283,7 +286,8 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                    alpha_mode: str = "full", lr: float = 0.0,
                    mine_from: int = 0, decay_at: int = 0,
                    decay_r: float = 0.0, loss: str = "bce",
-                   semihard: bool = False, skiptop: int = 0):
+                   semihard: bool = False, skiptop: int = 0,
+                   noise_q: float = 0.0):
     """search->genotype->train contract for the ITM task family
     (search_itm.py:382-386-equivalent genotype dump -> train_itm.py
     --ARCH_PATH), completing the product-rehearsal trilogy: bilevel
@@ -310,6 +314,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
                      SCORES_LOSS=loss, NET_LR_BASE=lr or 0.00003,
                      NEG_START_EPOCH=search_mine_from, NEG_NEPOCH=2,
                      MINE_SEMIHARD=semihard, MINE_SKIP_TOP=skiptop,
+                     MINE_NOISE_Q=noise_q,
                      BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
                      MAX_EPOCH=search_epochs, ALPHA_START=alpha_start,
                      ALPHA_BINARY_MODE=alpha_mode,
@@ -328,7 +333,7 @@ def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
     trained = run_itm(data_root, epochs, hsize=hsize, lr=lr,
                       mine_from=mine_from, decay_at=decay_at,
                       decay_r=decay_r, loss=loss, semihard=semihard,
-                      skiptop=skiptop,
+                      skiptop=skiptop, noise_q=noise_q,
                       arch_path=arch_json, geno_epoch=search_epochs,
                       version="rehearsal_search_itm-train")
     return {"metric": "search->train itm_R@K(test)",
@@ -372,6 +377,11 @@ def main():
                    help="MINE_SKIP_TOP: drop each item's k top-scored "
                         "mined candidates, keep the next NEG_HARDSIZE "
                         "(false negatives under label noise rank first)")
+    p.add_argument("--itm_noise_q", default=0.0, type=float,
+                   help="MINE_NOISE_Q: flag the bottom-q of captions by "
+                        "corpus-pooled own-positive score as label-noise "
+                        "suspects; drop them from candidate pools, give "
+                        "them random image negatives")
     p.add_argument("--search_alpha_mode", default="full",
                    choices=["full", "two"],
                    help="arch-step gate mode for the search tasks "
@@ -406,7 +416,8 @@ def main():
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss, "semihard": args.itm_semihard,
-                  "skiptop": args.itm_mine_skiptop}
+                  "skiptop": args.itm_mine_skiptop,
+                  "noise_q": args.itm_noise_q}
         elif task == "search_vqa":
             kw = {"alpha_mode": args.search_alpha_mode,
                   "kpath": args.search_kpath}
@@ -417,7 +428,8 @@ def main():
                   "lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss, "semihard": args.itm_semihard,
-                  "skiptop": args.itm_mine_skiptop}
+                  "skiptop": args.itm_mine_skiptop,
+                  "noise_q": args.itm_noise_q}
         result = runners[task](args.data_root, args.epochs, args.hsize, **kw)
         result["epochs"] = args.epochs
         result["wallclock_s"] = round(time.time() - t0, 1)
@@ -433,10 +445,15 @@ def main():
         }
         ktag = ("_kpath%d" % args.search_kpath
                 if task == "search_vqa" and args.search_kpath > 1 else "")
-        if task == "itm" and args.itm_semihard:
+        # mining-variant tags apply to BOTH itm and search_itm — both accept
+        # the flags (kw plumbing above); an untagged variant run must never
+        # clobber the baseline artifact (ADVICE r4)
+        if task in ("itm", "search_itm") and args.itm_semihard:
             ktag += "_semihard"
-        if task == "itm" and args.itm_mine_skiptop:
+        if task in ("itm", "search_itm") and args.itm_mine_skiptop:
             ktag += "_skiptop%d" % args.itm_mine_skiptop
+        if task in ("itm", "search_itm") and args.itm_noise_q:
+            ktag += "_noiseq%g" % args.itm_noise_q
         out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}{ktag}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
