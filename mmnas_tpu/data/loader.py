@@ -69,14 +69,30 @@ class Loader:
 
         stop = object()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        batch_mode = (hasattr(self.dataset, "supports_batch")
+                      and self.dataset.supports_batch())
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if batch_mode:
+                    # whole-batch vectorized assembly (dataset.get_batch —
+                    # memmap gathers + batched numpy, no per-item python):
+                    # one producer thread assembling inline is fastest —
+                    # the hot ops release the GIL, and measured on this
+                    # image a thread POOL only adds switch overhead
+                    # (81-1229 items/s pooled vs ~7000 inline, 1-core
+                    # host). The prefetch queue still overlaps assembly
+                    # with the consumer's H2D + dispatch.
                     for b in range(n_batches):
-                        chunk = indices[b * bs:(b + 1) * bs]
-                        items = list(pool.map(self.dataset.__getitem__, chunk))
-                        q.put(_stack(items))
+                        chunk = np.asarray(indices[b * bs:(b + 1) * bs])
+                        q.put(self.dataset.get_batch(chunk))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for b in range(n_batches):
+                            chunk = indices[b * bs:(b + 1) * bs]
+                            items = list(pool.map(self.dataset.__getitem__,
+                                                  chunk))
+                            q.put(_stack(items))
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
             finally:

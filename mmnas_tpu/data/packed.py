@@ -31,8 +31,8 @@ class PackedFeatures:
         with open(os.path.join(packed_dir, "meta.json")) as f:
             meta = json.load(f)
         self.iid_to_row = {iid: i for i, iid in enumerate(meta["iids"])}
-        self.lens = meta["lens"]
-        self.hw = meta["hw"]
+        self.lens = np.asarray(meta["lens"], np.int32)
+        self.hw = np.asarray(meta["hw"], np.float32)           # [N, 2] (h, w)
         self.feats = np.load(os.path.join(packed_dir, "feats.npy"),
                              mmap_mode="r")
         self.bbox = np.load(os.path.join(packed_dir, "bbox.npy"),
@@ -43,13 +43,29 @@ class PackedFeatures:
 
     def get(self, iid: str) -> Dict:
         row = self.iid_to_row[iid]
-        k = self.lens[row]
+        k = int(self.lens[row])
         h, w = self.hw[row]
         return {
             "x": np.asarray(self.feats[row, :k], np.float32),   # [k, F]
             "bbox": np.asarray(self.bbox[row, :k], np.float32),
             "image_h": float(h),
             "image_w": float(w),
+        }
+
+    def get_rows(self, rows: np.ndarray) -> Dict:
+        """Batched gather: one fancy-index read per array instead of
+        per-item python calls (the whole point of the packed layout — the
+        rows are already zero-padded to the store's max_len, so the gather
+        IS the padded batch). Features come back in the STORAGE dtype
+        (float16 by default): shipping half-width to the device halves the
+        hottest host copy + H2D transfer; models cast to the compute dtype
+        on device (models/net.py cast_for_compute)."""
+        rows = np.asarray(rows)
+        return {
+            "x": self.feats[rows],          # [B, Lp, F] storage dtype
+            "bbox": self.bbox[rows],        # [B, Lp, 4] float32
+            "hw": self.hw[rows],            # [B, 2]
+            "lens": self.lens[rows],        # [B]
         }
 
 

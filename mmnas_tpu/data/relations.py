@@ -59,6 +59,45 @@ def relation_embedding_jnp(bbox, valid_mask=None):
     return rel
 
 
+def semantic_embedding_batch(ques_ix: np.ndarray, n_words: np.ndarray,
+                             pretrained_emb: np.ndarray,
+                             max_token: int = 14) -> np.ndarray:
+    """Batched twin of semantic_embedding: [B, T] token ids + [B] true word
+    counts -> [B, T, T, 3], entries outside min(n_words, T) zeroed like the
+    per-item version's zero-padding. Vectorized numpy — this is the hot
+    per-item compute of the reference's loader workers collapsed into one
+    call per batch (data/vqa.py get_batch)."""
+    B, T = ques_ix.shape
+    assert T == max_token
+    ques_ix = np.asarray(ques_ix, np.int64)
+    size = np.minimum(np.asarray(n_words, np.int64), max_token)  # [B]
+    g = pretrained_emb[ques_ix].astype(np.float32)
+
+    # ||a-b||^2 = ||a||^2 + ||b||^2 - 2ab: [B,T,T] instead of the
+    # [B,T,T,300] diff tensor (the diff-based norm was ~100x the rest of
+    # the batch assembly). Identical-token pairs are forced to the exact
+    # 0.0 the diff form produces (the formula leaves ~1e-3 cancellation
+    # residue there); other entries agree to ~1e-4.
+    dot = np.einsum("bik,bjk->bij", g, g)
+    sq = np.einsum("btk,btk->bt", g, g)
+    l2sq = np.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dot, 0.0)
+    glove_l2 = np.sqrt(l2sq)
+    same_tok = ques_ix[:, :, None] == ques_ix[:, None, :]
+    glove_l2 = np.where(same_tok, 0.0, glove_l2)
+
+    mod = np.sqrt(np.sqrt(sq))                  # sqrt(||g||): quirk kept
+    glove_cos = dot / (mod[:, :, None] * mod[:, None, :] + 1e-6)
+
+    pos = np.arange(T, dtype=np.float32)
+    sub_pos = (np.abs(pos[:, None] - pos[None, :])[None]
+               / np.maximum(size, 1).astype(np.float32)[:, None, None])
+
+    out = np.stack((glove_l2, glove_cos, sub_pos), axis=-1)
+    valid = pos[None, :] < size[:, None].astype(np.float32)     # [B, T]
+    pair = (valid[:, :, None] & valid[:, None, :])[..., None]
+    return np.where(pair, out, 0.0).astype(np.float32)
+
+
 def semantic_embedding(n_words: int, ques_ix: np.ndarray,
                        pretrained_emb: np.ndarray, max_token: int = 14) -> np.ndarray:
     """Question semantic relation tensor, zero-padded to [max_token]^2.

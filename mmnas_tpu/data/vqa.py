@@ -23,7 +23,9 @@ from typing import Dict
 
 import numpy as np
 
-from mmnas_tpu.data.relations import relation_embedding, semantic_embedding
+from mmnas_tpu.data.relations import (
+    relation_embedding, semantic_embedding, semantic_embedding_batch,
+)
 from mmnas_tpu.data.vgd import norm_bbox_feat, pad_feat
 from mmnas_tpu.data.vocab import build_vocab_from_questions, tokenize_question
 from mmnas_tpu.utils.answer_norm import preprocess_answer
@@ -32,6 +34,19 @@ from mmnas_tpu.utils.answer_norm import preprocess_answer
 def get_score(occur: int) -> float:
     """Soft VQA answer score by annotator count (load_data_vqa.py:287-297)."""
     return {0: 0.0, 1: 0.3, 2: 0.6, 3: 0.9}.get(occur, 1.0)
+
+
+def _fit_len(arr: np.ndarray, n: int) -> np.ndarray:
+    """Truncate/zero-pad axis 1 to n (batched pad_feat; packed-store rows
+    are already padded to the store's max_len, so this is usually a no-op
+    view or a cheap slice)."""
+    if arr.shape[1] == n:
+        return np.asarray(arr)
+    if arr.shape[1] > n:
+        return np.asarray(arr[:, :n])
+    out = np.zeros((arr.shape[0], n) + arr.shape[2:], arr.dtype)
+    out[:, :arr.shape[1]] = arr
+    return out
 
 
 class VqaDataset:
@@ -103,6 +118,100 @@ class VqaDataset:
 
     def __len__(self):
         return self.data_size
+
+    # ------------------------------------------------------------- batch path
+    def supports_batch(self) -> bool:
+        """Whole-batch assembly (get_batch) needs the packed feature store
+        (one fancy-index gather per array) and DEVICE_REL (the quadratic
+        geometry tensor is the one per-item cost that must go on device —
+        shipping host-built [B,L,L,4] would put a 100x larger copy back on
+        the host). data/loader.py uses it automatically when available."""
+        return (self.features.packed is not None
+                and getattr(self.cfg, "DEVICE_REL", False))
+
+    def _build_batch_tables(self):
+        """One-time per-dataset precompute: tokenized questions, packed-store
+        row per item, and the (sparse) soft answer scores. After this, batch
+        assembly is pure vectorized numpy — no per-item python in the epoch
+        loop (replaces the reference's per-item DataLoader worker compute,
+        load_data_vqa.py:252-344)."""
+        cfg = self.cfg
+        N, T = self.data_size, cfg.MAX_TOKEN
+        packed = self.features.packed
+        tok = np.zeros((N, T), np.int64)
+        n_words = np.zeros(N, np.int32)
+        rows = np.zeros(N, np.int64)
+        ans_indptr = np.zeros(N + 1, np.int64)
+        ans_cols, ans_vals = [], []
+        unk = self.token_to_ix["UNK"]
+        for i in range(N):
+            if self.run_mode == "train":
+                ans = self.ans_list[i]
+                ques = self.qid_to_ques[str(ans["question_id"])]
+                iid = str(ans["image_id"])
+                counts: Dict[str, int] = {}
+                for a in ans["answers"]:
+                    ap = preprocess_answer(a["answer"])
+                    counts[ap] = counts.get(ap, 0) + 1
+                for a, c in counts.items():
+                    if a in self.ans_to_ix:
+                        ans_cols.append(self.ans_to_ix[a])
+                        ans_vals.append(get_score(c))
+            else:
+                ques = self.ques_list[i]
+                iid = str(ques["image_id"])
+            ans_indptr[i + 1] = len(ans_cols)
+            words = tokenize_question(ques["question"])
+            n_words[i] = len(words)
+            for ix, w in enumerate(words[:T]):
+                tok[i, ix] = self.token_to_ix.get(w, unk)
+            rows[i] = packed.iid_to_row[iid]
+        self._tok, self._n_words, self._rows = tok, n_words, rows
+        self._ans_indptr = ans_indptr
+        self._ans_cols = np.asarray(ans_cols, np.int64)
+        self._ans_vals = np.asarray(ans_vals, np.float32)
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Assemble a whole batch with vectorized gathers (see
+        _build_batch_tables). Emits the DEVICE_REL item layout: raw boxes
+        instead of the geometry tensor (computed in the jitted step,
+        models/net.py apply_stem) and float16 region features straight from
+        the packed store (cast to the compute dtype on device)."""
+        if not hasattr(self, "_tok"):
+            self._build_batch_tables()
+        cfg = self.cfg
+        idx = np.asarray(indices, np.int64)
+        B, L = len(idx), cfg.FRCNFEAT_LEN
+
+        pf = self.features.packed.get_rows(self._rows[idx])
+        frcn = _fit_len(pf["x"], L)
+        bbox = _fit_len(pf["bbox"], L)
+        h = pf["hw"][:, 0][:, None]
+        w = pf["hw"][:, 1][:, None]
+        bbox_feat = np.stack([
+            bbox[..., 0] / w, bbox[..., 1] / h,
+            bbox[..., 2] / w, bbox[..., 3] / h,
+            (bbox[..., 2] - bbox[..., 0]) * (bbox[..., 3] - bbox[..., 1])
+            / (h * w)], axis=-1).astype(np.float32)
+
+        ques_ix = self._tok[idx]
+        rel_ques = semantic_embedding_batch(ques_ix, self._n_words[idx],
+                                            self.pretrained_emb, cfg.MAX_TOKEN)
+        ans = np.zeros((B, self.ans_size), np.float32)
+        if self.run_mode == "train":
+            starts, ends = self._ans_indptr[idx], self._ans_indptr[idx + 1]
+            rows_rep = np.repeat(np.arange(B), ends - starts)
+            flat = np.concatenate([np.arange(s, e) for s, e in
+                                   zip(starts, ends)]) if B else np.zeros(0, np.int64)
+            ans[rows_rep, self._ans_cols[flat]] = self._ans_vals[flat]
+        return {
+            "frcn_feat": frcn,
+            "bbox_feat": bbox_feat,
+            "ques_ix": ques_ix,
+            "ans": ans,
+            "rel_ques": rel_ques,
+            "bbox_raw": bbox,
+        }
 
     def proc_ques(self, ques: dict) -> np.ndarray:
         T = self.cfg.MAX_TOKEN

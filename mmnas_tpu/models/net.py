@@ -47,6 +47,11 @@ def cast_for_compute(cfg, params, batch):
     fp32 (ops/primitives.py, ops/attention.py); heads cast back to fp32.
     Master weights/optimizer state remain fp32 in the train state."""
     if cfg.DTYPE != "bfloat16":
+        # fp32 mode: lift half-width inputs (the packed store ships fp16
+        # region features, data/packed.py get_rows) to the compute dtype
+        batch = {k: (v.astype(jnp.float32)
+                     if k in _INPUT_KEYS and v.dtype == jnp.float16 else v)
+                 for k, v in batch.items()}
         return params, batch
     bf = jnp.bfloat16
 
