@@ -82,7 +82,10 @@ Override with BENCH_DTYPE / BENCH_PALLAS / BENCH_BS / BENCH_TRAIN_BS /
 BENCH_KPATH / BENCH_REMAT / BENCH_DENSE / BENCH_UNIFIED / BENCH_HYBRID /
 BENCH_SEARCH / BENCH_TRAIN / BENCH_STEPS / BENCH_HEADLAST /
 BENCH_BUDGET_S / BENCH_CACHE env vars. Setting BENCH_BS or BENCH_KPATH
-pins the search config (disables the budget fallback).
+pins the search config (disables the budget fallback). BENCH_TASK=vgd|itm
+times that family's search loop (one measured point per reference search
+CLI; ITM's step is a triplet of supernet forwards, so its ex/s is
+structurally ~1/3 of VQA's at equal shapes).
 """
 
 import json
@@ -269,7 +272,7 @@ def emit(record, stdout=True):
              ("BENCH_BS", "BENCH_DTYPE", "BENCH_PALLAS", "BENCH_REMAT",
               "BENCH_DENSE", "BENCH_UNIFIED", "BENCH_HYBRID", "BENCH_TRAIN",
               "BENCH_KPATH", "BENCH_SEARCH", "BENCH_STEPS", "BENCH_TRAIN_BS",
-              "BENCH_HEADLAST")
+              "BENCH_HEADLAST", "BENCH_TASK")
              if k in os.environ}
     record = dict(record)
     record["provenance"] = {
@@ -292,29 +295,49 @@ def emit(record, stdout=True):
         f.write("\n")
 
 
-def bench_search(batch_size, kpath):
+def bench_search(batch_size, kpath, task="vqa"):
     """Bilevel search-loop throughput at (batch_size, kpath). Returns
-    examples/sec; records the leg's total wall under search_<bs>_<k>."""
+    examples/sec; records the leg's total wall under search_<bs>_<k>.
+
+    task selects the search family (BENCH_TASK env): vqa is the headline;
+    vgd (KLD+SmoothL1 heads) and itm (triplet of supernet forwards per
+    example — 3x the FLOPs by design, search_itm.py:399-423) give the other
+    two reference search CLIs their own measured throughput point."""
     import jax
     import jax.numpy as jnp
 
     from mmnas_tpu.config import SearchCfg
     from mmnas_tpu.data.loader import _stack
-    from mmnas_tpu.data.synth import SynthVqaDataset
-    from mmnas_tpu.engine.search import SearchExecution
-    from mmnas_tpu.models.supernet import NetSearch
     from mmnas_tpu.train.optimizer import (WarmupAdam, clip_by_global_norm,
                                            plain_adam)
+    from mmnas_tpu.models.supernet import NetSearch
 
     t_leg = time.perf_counter()
-    cfg = SearchCfg(TASK="vqa", SYNTH=True, BATCH_SIZE=batch_size,
+    task_cfg = {
+        "vqa": {},
+        "vgd": dict(DATASET="refcoco", FEAT="vg_woref", MAX_TOKEN=14),
+        "itm": dict(DATASET="flickr", MAX_TOKEN=50, FRCNFEAT_LEN=36),
+    }[task]
+    cfg = SearchCfg(TASK=task, SYNTH=True, BATCH_SIZE=batch_size,
                     N_DEVICES=1, NUM_WORKERS=2, DTYPE=BENCH_DTYPE,
-                    USE_PALLAS=BENCH_PALLAS, REMAT=BENCH_REMAT)
+                    USE_PALLAS=BENCH_PALLAS, REMAT=BENCH_REMAT, **task_cfg)
+    if task == "vqa":
+        from mmnas_tpu.data.synth import SynthVqaDataset
+        from mmnas_tpu.engine.search import SearchExecution
+        ds = SynthVqaDataset(cfg, size=batch_size, seed=0)
+    elif task == "vgd":
+        from mmnas_tpu.data.synth import SynthVgdDataset
+        from mmnas_tpu.engine.search_vgd import SearchExecution
+        ds = SynthVgdDataset(cfg, size=batch_size, seed=0)
+    else:
+        from mmnas_tpu.data.synth import SynthItmDataset
+        from mmnas_tpu.engine.search_itm import SearchExecution
+        ds = SynthItmDataset(cfg, size=batch_size + (-batch_size) % 5,
+                             seed=0, run_mode="train")
     ex = SearchExecution(cfg)
-    ds = SynthVqaDataset(cfg, size=batch_size, seed=0)
 
     net = NetSearch(cfg, {"token_size": ds.token_size, "ans_size": ds.ans_size,
-                          "pretrained_emb": ds.pretrained_emb})
+                          "pretrained_emb": ds.pretrained_emb}, task=task)
     params = net.init(jax.random.PRNGKey(0))
     alpha = net.init_alpha()
     optim = WarmupAdam(cfg.NET_LR_BASE, cfg.OPT_BETAS, cfg.OPT_EPS,
@@ -336,9 +359,7 @@ def bench_search(batch_size, kpath):
         idx = net.sample_indices(k_s, alpha)
 
         def loss_fn(p):
-            pred = net.apply(p, alpha, batch, idx, mode=wmode,
-                             train=True, rng=k_d)
-            return ex.loss(pred, batch)
+            return ex.forward_loss(net, p, alpha, batch, idx, wmode, k_d)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads, _ = clip_by_global_norm(grads, cfg.NET_GRAD_CLIP)
@@ -358,9 +379,8 @@ def bench_search(batch_size, kpath):
             total = 0.0
             for k in range(K):
                 sl = {name: a[k::K] for name, a in batch.items()}
-                pred = net.apply(p, alpha, sl, idxs[k], mode=wmode,
-                                 train=True, rng=jax.random.fold_in(k_d, k))
-                total += ex.loss(pred, sl)
+                total += ex.forward_loss(net, p, alpha, sl, idxs[k], wmode,
+                                         jax.random.fold_in(k_d, k))
             return total
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -382,9 +402,7 @@ def bench_search(batch_size, kpath):
         idx = net.sample_indices(k_s, alpha)
 
         def loss_fn(a):
-            pred = net.apply(params, a, batch, idx, mode="full",
-                             train=True, rng=k_d)
-            return ex.loss(pred, batch)
+            return ex.forward_loss(net, params, a, batch, idx, "full", k_d)
 
         grads = jax.grad(loss_fn)(alpha)
         alpha, aopt, _ = aoptim.step(aopt, alpha, grads)
@@ -423,7 +441,8 @@ def bench_search(batch_size, kpath):
         jax.random.fold_in(key, 7))
     float(loss)  # true barrier (see docstring)
     dt = time.perf_counter() - t0
-    _record_timing(f"search_{batch_size}_{kpath}",
+    leg_prefix = "search" if task == "vqa" else f"search_{task}"
+    _record_timing(f"{leg_prefix}_{batch_size}_{kpath}",
                    time.perf_counter() - t_leg)
     return BENCH_STEPS * batch_size / dt
 
@@ -445,6 +464,22 @@ def main():
             "unit": "examples/s",
             "vs_baseline": round(
                 train_eps / ESTIMATED_TRAIN_BASELINE_PER_GPU, 2),
+        })
+        return
+
+    # BENCH_TASK=vgd|itm: measure that family's search loop instead of the
+    # VQA headline (one scan-timed ex/s per reference search CLI). These
+    # legs are measurement-only: no budget fallback, no train leg.
+    task = os.environ.get("BENCH_TASK", "vqa")
+    if task != "vqa":
+        if not CONFIG_PINNED:
+            BATCH, BENCH_KPATH = FALLBACK  # reference-parity point
+        eps = bench_search(BATCH, BENCH_KPATH, task=task)
+        emit({
+            "metric": f"{task}_search_examples_per_sec_per_chip",
+            "value": round(eps, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(eps / ESTIMATED_BASELINE_PER_GPU, 2),
         })
         return
 

@@ -32,6 +32,8 @@ def get_mesh(n_devices: int = 0, model_axis: int = 1) -> Mesh:
     n_devices == 0 uses every visible device. The data axis carries the
     batch; the model axis (if >1) carries hidden-dim shards.
     """
+    from mmnas_tpu.utils.xla_cache import enable as _enable_xla_cache
+    _enable_xla_cache()  # every engine passes through here exactly once
     devs = jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):

@@ -64,10 +64,25 @@ ANSWERS = ["red", "blue", "green", "yellow", "purple", "orange",
 
 
 def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048,
-            n_kw=40, noise=0.0):
+            n_kw=40, noise=0.0, xmodal=False):
+    """xmodal=True plants a CROSS-MODAL signal: each image carries a
+    signature sig in [0,12) as a +6-sigma block on feature channels
+    [1024+8*sig, 1024+8*(sig+1)) of every region, the image per question is
+    drawn uniformly at random, and the answer is ANSWERS[(kw + sig) % 12].
+    A text-only (image-blind) predictor's Bayes ceiling is then the
+    empirical max_a P(a|kw) under the train distribution (~1/12 + noise) —
+    returned as 'val_text_only_ceiling' — while the full cross-modal rule
+    still reaches (1 - noise). This is the corpus where ARCHITECTURE is
+    measurable: a genotype without cross-modal ops cannot close the gap
+    (modular addition of kw and sig is not additively separable, so the
+    attflat+sum+linear head alone provably can't express it). Used by the
+    scaled search->train discrimination contracts (VERDICT r4 #3) against
+    the reference's searched-vs-mcan accuracy-gap claim
+    (docs/pretrained_models.md:11-12)."""
     anno = os.path.join(root, "vqa", "annotations")
     os.makedirs(anno, exist_ok=True)
     img_ids = {"train": [], "val": []}
+    img_sig = {}
     for split, d2014, n in (("train", "train2014", n_imgs),
                             ("val", "val2014", max(8, n_imgs // 4))):
         fdir = os.path.join(root, "vqa", "bua-r101-max100", d2014)
@@ -75,28 +90,43 @@ def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048,
         for i in range(n):
             iid = (1 if split == "train" else 500000) + i
             img_ids[split].append(iid)
+            feats = rng.randn(k, feat) * 0.5
+            if xmodal:
+                sig = int(rng.randint(len(ANSWERS)))
+                img_sig[iid] = sig
+                feats[:, 1024 + 8 * sig:1024 + 8 * (sig + 1)] += 6.0
             _write_npz(os.path.join(
                 fdir, f"COCO_{d2014}_{iid:012d}.jpg.npz"),
-                rng.randn(k, feat) * 0.5, _boxes(rng, k, 480, 640), 480, 640)
+                feats, _boxes(rng, k, 480, 640), 480, 640)
     os.makedirs(os.path.join(root, "vqa", "bua-r101-max100", "test2015"),
                 exist_ok=True)
 
     # n_kw keywords -> 12 answers: each answer >8x in train (vocab filter)
     corrupted = {"train": 0, "val": 0}
 
+    kw_ans = {"train": {}, "val": {}}  # kw -> {answer: count} (text-only view)
+
     def make(split, n, qid0):
         qs, an = [], []
         for i in range(n):
             kw = (i + (17 if split == "val" else 0)) % n_kw
-            ans = ANSWERS[kw % len(ANSWERS)]
+            if xmodal:
+                pos = int(rng.randint(len(img_ids[split])))
+                iid = img_ids[split][pos]
+                ans = ANSWERS[(kw + img_sig[iid]) % len(ANSWERS)]
+            else:
+                iid = img_ids[split][i % len(img_ids[split])]
+                ans = ANSWERS[kw % len(ANSWERS)]
             if noise and rng.rand() < noise:
                 # label noise: a DIFFERENT answer, all 10 annotators agree
                 # on it -> Bayes ceiling = (1-noise)*100 on val
                 ans = ANSWERS[(kw + 1 + rng.randint(len(ANSWERS) - 1))
                               % len(ANSWERS)]
                 corrupted[split] += 1
+            kw_ans[split].setdefault(kw, {})
+            kw_ans[split][kw][ans] = kw_ans[split][kw].get(ans, 0) + 1
             qs.append({"question_id": qid0 + i,
-                       "image_id": img_ids[split][i % len(img_ids[split])],
+                       "image_id": iid,
                        "question": f"what color is the object called kw{kw} ?"})
             an.append({"question_id": qid0 + i,
                        "image_id": qs[-1]["image_id"],
@@ -123,7 +153,20 @@ def gen_vqa(root, rng, n_train=1000, n_val=200, n_imgs=60, k=20, feat=2048,
             json.dump(payload, f)
     print(f"vqa: {n_train} train / {n_val} val questions, "
           f"{len(img_ids['train'])}+{len(img_ids['val'])} images")
-    return {"val_noise_realized": corrupted["val"] / max(1, n_val)}
+    ret = {"val_noise_realized": corrupted["val"] / max(1, n_val)}
+    if xmodal:
+        # Bayes ceiling of an IMAGE-BLIND predictor: fit argmax_a
+        # P_train(a|kw), score on val (exact — all 10 annotators agree, so
+        # VQAEval accuracy = match fraction)
+        hits = 0
+        for kw, val_counts in kw_ans["val"].items():
+            train_counts = kw_ans["train"].get(kw, {})
+            if not train_counts:
+                continue
+            best = max(train_counts, key=train_counts.get)
+            hits += val_counts.get(best, 0)
+        ret["val_text_only_ceiling"] = hits / max(1, n_val)
+    return ret
 
 
 def gen_vgd(root, rng, n_train=1000, n_eval=150, n_imgs=60, k=20, feat=2048,
@@ -271,8 +314,44 @@ def main():
                         "min(2*noise, 0.5) per caption; i2t takes the "
                         "min rank over 5 captions so per-caption noise "
                         "barely moves it)")
+    p.add_argument("--xmodal", action="store_true",
+                   help="scaled-tier VQA-only corpus with a CROSS-MODAL "
+                        "answer rule (see gen_vqa docstring): the search "
+                        "discrimination testbed — an image-blind genotype "
+                        "has a known low text-only ceiling")
     args = p.parse_args()
     rng = np.random.RandomState(args.seed)
+    if args.xmodal:
+        if args.tier != "scaled":
+            raise SystemExit("--xmodal requires --tier scaled")
+        eps = args.noise
+        r_vqa = gen_vqa(args.out, rng, n_train=10000, n_val=1500, n_imgs=200,
+                        n_kw=120, noise=eps, xmodal=True)
+        meta = {
+            "tier": "scaled_xmodal", "noise": eps, "seed": args.seed,
+            "note": "VQA-only cross-modal discrimination corpus: answer = "
+                    "ANSWERS[(kw + image_signature) % 12]",
+            "realized": r_vqa,
+            "bands": {
+                "vqa_overall": {
+                    "floor": round(100.0 / len(ANSWERS), 2),
+                    "text_only_ceiling": round(
+                        100.0 * r_vqa["val_text_only_ceiling"], 2),
+                    "ceiling": round(
+                        100.0 * (1 - r_vqa["val_noise_realized"]), 2),
+                    "why": "floor: constant answer (12 uniform); "
+                           "text_only_ceiling: argmax_a P_train(a|kw) "
+                           "scored on val — the Bayes bound for ANY "
+                           "image-blind predictor; ceiling: corrupted "
+                           "labels never match the cross-modal rule "
+                           "(realized val noise)"},
+            }}
+        with open(os.path.join(args.out, "rehearsal_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+            f.write("\n")
+        print(f"xmodal rehearsal data at {args.out}; now run "
+              f"make_glove_cache.py --task vqa --stub")
+        return
     if args.tier == "small":
         gen_vqa(args.out, rng)
         gen_vgd(args.out, rng)

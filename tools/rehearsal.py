@@ -90,6 +90,7 @@ def run_vqa(data_root: str, epochs: int, hsize: int = 0,
 
 def run_vgd(data_root: str, epochs: int, hsize: int = 0,
             arch_path: str = "./arch/mcan.json", geno_epoch: int = 0,
+            lr: float = 0.0,
             version: str = "rehearsal_vgd"):
     from mmnas_tpu.config import Cfg
     from mmnas_tpu.engine.vgd import Execution
@@ -97,7 +98,7 @@ def run_vgd(data_root: str, epochs: int, hsize: int = 0,
     cfg = Cfg(TASK="vgd", DATA_ROOT=data_root, RUN_MODE="train",
               DATASET="refcoco", FEAT="vg_woref", MAX_TOKEN=14,
               BATCH_SIZE=64, EVAL_BATCH_SIZE=64, NUM_WORKERS=2,
-              NET_LR_BASE=0.00014, MAX_EPOCH=epochs, SEED=44,
+              NET_LR_BASE=lr or 0.00014, MAX_EPOCH=epochs, SEED=44,
               VERSION=version, ARCH_PATH=arch_path, GENO_EPOCH=geno_epoch,
               CKPT_EVERY=max(1, epochs),
               DTYPE="bfloat16",
@@ -197,8 +198,31 @@ def run_itm(data_root: str, epochs: int, hsize: int = 0,
     return out
 
 
+def _compare_leg(result, runner, data_root, epochs, hsize, compare_arch,
+                 version, metric_keys):
+    """Train a DELIBERATELY-BAD fixed genotype with the identical schedule
+    and record the searched-vs-bad gap — the discrimination claim the
+    reference makes as searched-mmnas vs mcan (pretrained_models.md:11-12).
+    arch/unimodal_dec_none.json is the canonical bad arch: its decoder is
+    all 'none' (x*0, no residual — ops/modules.py:445), so the image
+    pathway is provably dead and on a cross-modal corpus its ceiling is the
+    image-blind band (make_rehearsal_data.py gen_vqa xmodal docstring)."""
+    bad = runner(data_root, epochs, hsize=hsize, arch_path=compare_arch,
+                 geno_epoch=0, version=version)
+    result["compare_arch"] = compare_arch
+    for k in metric_keys:
+        result[f"compare_{k}"] = bad.get(k)
+        if isinstance(result.get(k), (int, float)) and isinstance(
+                bad.get(k), (int, float)):
+            result[f"discrimination_gap_{k}"] = round(result[k] - bad[k], 2)
+    result["compare_train_loss_per_example"] = bad.get(
+        "train_loss_per_example")
+    return result
+
+
 def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
-                   alpha_mode: str = "full", kpath: int = 1):
+                   alpha_mode: str = "full", kpath: int = 1,
+                   compare_arch: str = ""):
     """The framework's full product contract end to end
     (search_vqa.py:382-386 -> train_vqa.py:185): bilevel supernet search on
     the rehearsal corpus, per-epoch genotype dump to
@@ -228,19 +252,23 @@ def run_search_vqa(data_root: str, epochs: int, hsize: int = 0,
     trained = run_vqa(data_root, epochs, hsize=hsize,
                       arch_path=arch_json, geno_epoch=search_epochs,
                       version="rehearsal_search_vqa-train")
-    return {"metric": "search->train vqa_val_accuracy(VQAEval overall)",
-            "value": trained["value"],
-            "alpha_mode": alpha_mode, "kpath": kpath,
-            "searched_genotype": genotype,
-            "genotype_json": arch_json,
-            "search_epochs": search_epochs,
-            "alpha_start": alpha_start,
-            "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
-            "train_loss_per_example": trained["train_loss_per_example"]}
+    out = {"metric": "search->train vqa_val_accuracy(VQAEval overall)",
+           "value": trained["value"],
+           "alpha_mode": alpha_mode, "kpath": kpath,
+           "searched_genotype": genotype,
+           "genotype_json": arch_json,
+           "search_epochs": search_epochs,
+           "alpha_start": alpha_start,
+           "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
+           "train_loss_per_example": trained["train_loss_per_example"]}
+    if compare_arch:
+        _compare_leg(out, run_vqa, data_root, epochs, hsize, compare_arch,
+                     "rehearsal_search_vqa-compare", ("value",))
+    return out
 
 
 def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
-                   alpha_mode: str = "full"):
+                   alpha_mode: str = "full", compare_arch: str = ""):
     """search->genotype->train contract for the VGD task family
     (search_vgd.py -> train_vgd.py --ARCH_PATH), mirroring run_search_vqa:
     bilevel supernet search on the rehearsal RefCOCO-format corpus,
@@ -270,16 +298,21 @@ def run_search_vgd(data_root: str, epochs: int, hsize: int = 0,
     trained = run_vgd(data_root, epochs, hsize=hsize,
                       arch_path=arch_json, geno_epoch=search_epochs,
                       version="rehearsal_search_vgd-train")
-    return {"metric": "search->train vgd_accuracy@IoU0.5",
-            "acc_iou0.5_val": trained["acc_iou0.5_val"],
-            "acc_iou0.5_test": trained["acc_iou0.5_test"],
-            "alpha_mode": alpha_mode,
-            "searched_genotype": genotype,
-            "genotype_json": arch_json,
-            "search_epochs": search_epochs,
-            "alpha_start": alpha_start,
-            "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
-            "train_loss_per_example": trained["train_loss_per_example"]}
+    out = {"metric": "search->train vgd_accuracy@IoU0.5",
+           "acc_iou0.5_val": trained["acc_iou0.5_val"],
+           "acc_iou0.5_test": trained["acc_iou0.5_test"],
+           "alpha_mode": alpha_mode,
+           "searched_genotype": genotype,
+           "genotype_json": arch_json,
+           "search_epochs": search_epochs,
+           "alpha_start": alpha_start,
+           "search_cfg": _knobs(scfg), "train_cfg": trained["cfg"],
+           "train_loss_per_example": trained["train_loss_per_example"]}
+    if compare_arch:
+        _compare_leg(out, run_vgd, data_root, epochs, hsize, compare_arch,
+                     "rehearsal_search_vgd-compare",
+                     ("acc_iou0.5_val", "acc_iou0.5_test"))
+    return out
 
 
 def run_search_itm(data_root: str, epochs: int, hsize: int = 0,
@@ -390,7 +423,26 @@ def main():
                    help="KPATH for search_vqa: K concurrent sampled paths "
                         "per weight step (the measured fast mode; proves "
                         "the search contract still learns under it)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (wiring smokes while the "
+                        "real chip is busy; sitecustomize pins axon, so "
+                        "this must be a post-import config update)")
+    p.add_argument("--vgd_lr", type=float, default=0.0,
+                   help="VGD NET_LR_BASE override (0 = 0.00014) — the "
+                        "scaled-VGD band-gap diagnosis sweep")
+    p.add_argument("--evidence_tag", default="",
+                   help="extra evidence-filename suffix for sweep/variant "
+                        "runs so they never clobber a baseline artifact")
+    p.add_argument("--compare_arch", default="",
+                   help="search_vqa/search_vgd: also train this fixed "
+                        "genotype (e.g. arch/unimodal_dec_none.json) with "
+                        "the identical schedule and record the searched-"
+                        "vs-bad discrimination gap")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     runners = {"vqa": run_vqa, "vgd": run_vgd, "itm": run_itm,
                "search_vqa": run_search_vqa,
@@ -412,7 +464,9 @@ def main():
     for task in tasks:
         t0 = time.time()
         kw = {}
-        if task == "itm":
+        if task == "vgd":
+            kw = {"lr": args.vgd_lr}
+        elif task == "itm":
             kw = {"lr": args.itm_lr, "mine_from": args.itm_mine_from,
                   "decay_at": args.itm_decay_at, "decay_r": args.itm_decay_r,
                   "loss": args.itm_loss, "semihard": args.itm_semihard,
@@ -420,9 +474,11 @@ def main():
                   "noise_q": args.itm_noise_q}
         elif task == "search_vqa":
             kw = {"alpha_mode": args.search_alpha_mode,
-                  "kpath": args.search_kpath}
+                  "kpath": args.search_kpath,
+                  "compare_arch": args.compare_arch}
         elif task == "search_vgd":
-            kw = {"alpha_mode": args.search_alpha_mode}
+            kw = {"alpha_mode": args.search_alpha_mode,
+                  "compare_arch": args.compare_arch}
         elif task == "search_itm":
             kw = {"alpha_mode": args.search_alpha_mode,
                   "lr": args.itm_lr, "mine_from": args.itm_mine_from,
@@ -454,6 +510,12 @@ def main():
             ktag += "_skiptop%d" % args.itm_mine_skiptop
         if task in ("itm", "search_itm") and args.itm_noise_q:
             ktag += "_noiseq%g" % args.itm_noise_q
+        if args.evidence_tag:
+            ktag += "_" + args.evidence_tag.strip("_")
+        # a CPU wiring smoke (or any non-TPU run) must never overwrite a
+        # tracked real-chip artifact (same rule as bench.py emit)
+        if result["provenance"]["backend"] != "tpu":
+            ktag += "_" + result["provenance"]["backend"]
         out = os.path.join(EVIDENCE_DIR, f"rehearsal_{task}{tag}{ktag}.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
