@@ -189,6 +189,18 @@ class Cfg:
                                       # [K,4] instead of [K,K,4]); VQA/VGD
                                       # paths (K=100); ITM keeps host rel
                                       # (K=36, triplet batch plumbing)
+    SHIP_INT8: bool = False           # whole-batch VQA loader ships region
+                                      # features as int8 + per-region fp32
+                                      # scale (dequantized in the jitted
+                                      # stem): halves the H2D bytes vs the
+                                      # fp16 default. For transfer-bound
+                                      # hosts (measured ~45-54MB/s on this
+                                      # image's relay TPU attachment —
+                                      # docs/perf_analysis.md round-5
+                                      # decomposition). Opt-in: adds
+                                      # <=scale/2 rounding noise per
+                                      # element (<=0.4% of the region's
+                                      # peak activation; parity-tested)
     MULTIHOST: bool = False           # jax.distributed.initialize() first
     EVAL_EVERY_EPOCH: bool = True
 
@@ -269,6 +281,21 @@ class SearchCfg(Cfg):
                                       # K chains give the scheduler
                                       # independent work — see
                                       # docs/perf_analysis.md round-4 row)
+    SCAN_STEPS: int = 1               # fuse N engine steps into ONE jitted
+                                      # lax.scan dispatch (arch steps fire
+                                      # inside via lax.cond at the same
+                                      # (step+1) % ALPHA_EVERY positions,
+                                      # same per-step RNG streams — parity
+                                      # tested). Collapses per-step dispatch
+                                      # overhead N-fold; on this image's
+                                      # remote-relay TPU the per-step K8
+                                      # search dispatch measures ~7.5s/step
+                                      # vs a 112ms device step, so the
+                                      # fused mode is the difference
+                                      # between ~34 and ~2289 ex/s
+                                      # (docs/evidence/bench_engine_loop_*).
+                                      # Must be a multiple of ALPHA_EVERY;
+                                      # 1 = reference-parity per-step loop.
     DENSE_WEIGHT_STEP: bool = False   # weight steps run ALL branches with
                                       # one-hot straight-through gates
                                       # (identical forward/grads to the
@@ -304,6 +331,16 @@ class SearchCfg(Cfg):
                                       # documented negative result
                                       # (docs/perf_analysis.md); parity
                                       # tested in tests/test_unified.py
+    def __post_init__(self):
+        super().__post_init__()
+        # misaligned chunks would shift which steps fire arch updates
+        # relative to the reference's (step+1) % ALPHA_EVERY schedule
+        if self.SCAN_STEPS < 1 or (self.SCAN_STEPS > 1
+                                   and self.SCAN_STEPS % self.ALPHA_EVERY):
+            raise ValueError(
+                f"SCAN_STEPS must be 1 or a multiple of ALPHA_EVERY="
+                f"{self.ALPHA_EVERY}, got {self.SCAN_STEPS}")
+
     # Dropped reference fields: ALPHA_INIT_TYPE (its normal/uniform pre-init
     # is unconditionally overwritten by the biased MCAN init in the
     # reference, hygr_vqa.py:135-156) and GENOTYPES_K (set at
@@ -369,6 +406,10 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--DEVICE_REL", dest="DEVICE_REL", default=False,
                    action="store_true",
                    help="compute box relation tensors on device")
+    p.add_argument("--SHIP_INT8", dest="SHIP_INT8", default=False,
+                   action="store_true",
+                   help="ship region features int8+scale (half the H2D "
+                        "bytes; VQA packed batch path)")
     p.add_argument("--PROFILE", dest="PROFILE", default=False,
                    action="store_true",
                    help="jax.profiler trace of the first epoch")
@@ -397,6 +438,13 @@ def make_arg_parser(task: str, search: bool = False) -> argparse.ArgumentParser:
                        help="sample K independent paths per weight step, "
                             "each on a 1/K batch slice (union-masked "
                             "single optimizer update)")
+        p.add_argument("--SCAN_STEPS", dest="SCAN_STEPS", default=1,
+                       type=_positive_int,
+                       help="fuse N engine steps into one jitted lax.scan "
+                            "dispatch (multiple of ALPHA_EVERY; 1 = "
+                            "per-step reference loop). Collapses per-step "
+                            "dispatch overhead — essential on remote-"
+                            "relay TPU attachments")
     if task == "vgd":
         p.add_argument("--DATASET", dest="DATASET", default="refcoco",
                        choices=["refcoco", "refcoco+", "refcocog"], type=str)

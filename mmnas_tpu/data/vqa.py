@@ -204,7 +204,7 @@ class VqaDataset:
             flat = np.concatenate([np.arange(s, e) for s, e in
                                    zip(starts, ends)]) if B else np.zeros(0, np.int64)
             ans[rows_rep, self._ans_cols[flat]] = self._ans_vals[flat]
-        return {
+        out = {
             "frcn_feat": frcn,
             "bbox_feat": bbox_feat,
             "ques_ix": ques_ix,
@@ -212,6 +212,20 @@ class VqaDataset:
             "rel_ques": rel_ques,
             "bbox_raw": bbox,
         }
+        if getattr(cfg, "SHIP_INT8", False):
+            # int8 + per-region fp32 scale: HALF the ship bytes vs fp16
+            # (transfer-bound hosts — docs/perf_analysis.md round-5
+            # decomposition). Symmetric rounding; zero rows (padding and
+            # all-zero regions) quantize to exactly zero so make_mask in
+            # the stem sees the same mask.
+            f32 = frcn.astype(np.float32)
+            scale = np.abs(f32).max(axis=-1) / 127.0          # [B, L]
+            safe = np.where(scale > 0, scale, 1.0)
+            q = np.rint(f32 / safe[..., None]).astype(np.int8)
+            out["frcn_feat_q"] = q
+            out["frcn_scale"] = scale.astype(np.float32)
+            del out["frcn_feat"]
+        return out
 
     def proc_ques(self, ques: dict) -> np.ndarray:
         T = self.cfg.MAX_TOKEN

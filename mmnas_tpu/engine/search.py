@@ -98,7 +98,11 @@ class SearchExecution:
     def global_batch(self) -> int:
         return self.cfg.BATCH_SIZE * self.n_shards
 
-    def make_weight_step(self, net: NetSearch, optim: WarmupAdam):
+    def weight_body(self, net: NetSearch, optim: WarmupAdam):
+        """The UN-JITTED weight-step body (sampled / K-path / dense /
+        unified / hybrid, per cfg) — shared by the per-step jit
+        (make_weight_step) and the fused SCAN_STEPS chunk program
+        (make_chunk_step), so both dispatch modes run the identical math."""
         cfg, n_shards = self.cfg, self.n_shards
         # DENSE_WEIGHT_STEP: express the single-path weight step as the
         # all-branch one-hot-gated program (mode='full'). Forward value and
@@ -178,10 +182,14 @@ class SearchExecution:
                 raise ValueError(
                     f"per-process batch {self.global_batch() // jax.process_count()}"
                     f" not divisible by KPATH={kpath}")
-            return jax.jit(step_kpath, donate_argnums=(0, 1))
-        return jax.jit(step, donate_argnums=(0, 1))
+            return step_kpath
+        return step
 
-    def make_arch_step(self, net: NetSearch, alpha_optim: WarmupAdam):
+    def make_weight_step(self, net: NetSearch, optim: WarmupAdam):
+        return jax.jit(self.weight_body(net, optim), donate_argnums=(0, 1))
+
+    def arch_body(self, net: NetSearch, alpha_optim):
+        """UN-JITTED arch-step body (see weight_body)."""
         n_shards = self.n_shards
         mode = self.cfg.ALPHA_BINARY_MODE
         if mode not in ("full", "two"):
@@ -209,7 +217,82 @@ class SearchExecution:
                 new_alpha = net.rescale_alpha(alpha, new_alpha, idx)
             return new_alpha, alpha_opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    def make_arch_step(self, net: NetSearch, alpha_optim):
+        return jax.jit(self.arch_body(net, alpha_optim),
+                       donate_argnums=(0, 1))
+
+    def make_chunk_step(self, net: NetSearch, optim: WarmupAdam,
+                        alpha_optim, do_arch: bool):
+        """Fused SCAN_STEPS program: N weight steps (+ the arch steps that
+        fall inside them when do_arch) in ONE jitted lax.scan dispatch.
+
+        Per-step dispatch is free on a local-PCIe TPU host but costs a full
+        remote round trip through a relay attachment (measured ~7.5s/step
+        for the K8 search step on this image, docs/evidence/
+        bench_engine_loop_*); fusing N steps collapses that N-fold while
+        preserving the reference schedule exactly: step s fires an arch
+        update iff (s+1) % ALPHA_EVERY == 0 (search_vqa.py:268-337), and
+        the per-step RNG streams are the identical fold_in(key, global_step)
+        / fold_in(key, 1e9 + global_step) the per-step loop uses — parity
+        is test-enforced (tests/test_scan_steps.py).
+
+        Chunks are cut at within-epoch positions that are multiples of
+        SCAN_STEPS and SCAN_STEPS % ALPHA_EVERY == 0 (config-validated), so
+        within-chunk position i fires iff (i+1) % ALPHA_EVERY == 0 and
+        consumes arch batch (i+1)//ALPHA_EVERY - 1 — the same eval-loader
+        batches, in the same order, the per-step loop would draw."""
+        cfg = self.cfg
+        wbody = self.weight_body(net, optim)
+        abody = self.arch_body(net, alpha_optim)
+        AE = cfg.ALPHA_EVERY
+
+        def chunk_arch(params, opt_state, alpha, aopt, batches, arch_batches,
+                       key, step0):
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+            def body(carry, i):
+                params, opt_state, alpha, aopt = carry
+                batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+                rng = jax.random.fold_in(key, step0 + i)
+                params, opt_state, loss, lr = wbody(
+                    params, opt_state, alpha, batch, rng)
+
+                def fire(alpha, aopt):
+                    ab = jax.tree_util.tree_map(
+                        lambda x: x[(i + 1) // AE - 1], arch_batches)
+                    rng2 = jax.random.fold_in(
+                        key, 1_000_000_000 + step0 + i)
+                    alpha, aopt, _ = abody(alpha, aopt, params, ab, rng2)
+                    return alpha, aopt
+
+                alpha, aopt = jax.lax.cond(
+                    (i + 1) % AE == 0, fire, lambda a, s: (a, s), alpha, aopt)
+                return (params, opt_state, alpha, aopt), (loss, lr)
+
+            (params, opt_state, alpha, aopt), (losses, lrs) = jax.lax.scan(
+                body, (params, opt_state, alpha, aopt), jnp.arange(n))
+            return params, opt_state, alpha, aopt, losses, lrs[-1]
+
+        def chunk_noarch(params, opt_state, alpha, batches, key, step0):
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+            def body(carry, i):
+                params, opt_state = carry
+                batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+                rng = jax.random.fold_in(key, step0 + i)
+                params, opt_state, loss, lr = wbody(
+                    params, opt_state, alpha, batch, rng)
+                return (params, opt_state), (loss, lr)
+
+            (params, opt_state), (losses, lrs) = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n))
+            return params, opt_state, losses, lrs[-1]
+
+        if do_arch:
+            return jax.jit(chunk_arch, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(chunk_noarch, donate_argnums=(0, 1))
 
     def make_eval_step(self, net: NetSearch):
         def step(params, alpha, batch):
@@ -256,6 +339,16 @@ class SearchExecution:
         weight_step = self.make_weight_step(net, net_optim)
         arch_step = self.make_arch_step(net, alpha_optim)
 
+        scan_steps = getattr(cfg, "SCAN_STEPS", 1)
+        chunk_cache = {}
+
+        def get_chunk(do_arch: bool):
+            # one compiled chunk program per arch-phase, reused across epochs
+            if do_arch not in chunk_cache:
+                chunk_cache[do_arch] = self.make_chunk_step(
+                    net, net_optim, alpha_optim, do_arch)
+            return chunk_cache[do_arch]
+
         base_key = jax.random.PRNGKey(cfg.SEED + 1)
         arch_json = os.path.join(cfg.ARCH_ROOT, cfg.VERSION + ".json")
         global_step = start_epoch * epoch_steps
@@ -271,32 +364,77 @@ class SearchExecution:
 
             eval_iter = iter(eval_loader)
             losses, lr, t0 = [], 0.0, time.time()
-            for step, sb in enumerate(
-                    pmesh.prefetch_to_device(train_loader, self.mesh)):
+            do_arch = epoch >= cfg.ALPHA_START
+
+            def draw_arch_batch():
+                nonlocal eval_iter
+                try:
+                    return next(eval_iter)
+                except StopIteration:
+                    eval_iter = iter(eval_loader)
+                    return next(eval_iter)
+
+            def step_one(sb, step):
+                """One reference-schedule step (per-step dispatch path and
+                the sub-chunk tail of the fused path)."""
+                nonlocal params, opt_state, alpha, alpha_opt_state
+                nonlocal lr, global_step
                 rng = jax.random.fold_in(base_key, global_step)
                 params, opt_state, loss, lr = weight_step(
                     params, opt_state, alpha, sb, rng)
                 losses.append(loss)  # device-side; summed at epoch end
-
-                if (epoch >= cfg.ALPHA_START
-                        and (step + 1) % cfg.ALPHA_EVERY == 0):
-                    try:
-                        arch_batch = next(eval_iter)
-                    except StopIteration:
-                        eval_iter = iter(eval_loader)
-                        arch_batch = next(eval_iter)
-                    sb2 = pmesh.shard_batch(self.mesh, arch_batch)
-                    rng2 = jax.random.fold_in(base_key, 1_000_000_000 + global_step)
+                if do_arch and (step + 1) % cfg.ALPHA_EVERY == 0:
+                    sb2 = pmesh.shard_batch(self.mesh, draw_arch_batch())
+                    rng2 = jax.random.fold_in(
+                        base_key, 1_000_000_000 + global_step)
                     alpha, alpha_opt_state, _ = arch_step(
                         alpha, alpha_opt_state, params, sb2, rng2)
-
                 global_step += 1
                 if cfg.DEBUG and is_writer():
                     print(step, float(loss) / self.global_batch())
 
+            if scan_steps <= 1:
+                for step, sb in enumerate(
+                        pmesh.prefetch_to_device(train_loader, self.mesh)):
+                    step_one(sb, step)
+            else:
+                # fused mode: full chunks of SCAN_STEPS go through ONE
+                # jitted scan dispatch; the sub-chunk tail (and nothing
+                # else) falls back to the per-step path
+                step, buf = 0, []
+
+                def stack(bs):
+                    return {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+
+                for hb in train_loader:
+                    buf.append(hb)
+                    if len(buf) < scan_steps:
+                        continue
+                    sb = pmesh.shard_stacked_batch(self.mesh, stack(buf))
+                    buf = []
+                    if do_arch:
+                        asb = pmesh.shard_stacked_batch(self.mesh, stack(
+                            [draw_arch_batch()
+                             for _ in range(scan_steps // cfg.ALPHA_EVERY)]))
+                        (params, opt_state, alpha, alpha_opt_state,
+                         lchunk, lr) = get_chunk(True)(
+                            params, opt_state, alpha, alpha_opt_state,
+                            sb, asb, base_key, global_step)
+                    else:
+                        params, opt_state, lchunk, lr = get_chunk(False)(
+                            params, opt_state, alpha, sb, base_key,
+                            global_step)
+                    losses.append(lchunk)  # [SCAN_STEPS] device array
+                    global_step += scan_steps
+                    step += scan_steps
+                for hb in buf:  # tail
+                    step_one(pmesh.shard_batch(self.mesh, hb), step)
+                    step += 1
+
             epoch_finish = epoch + 1
             dt = time.time() - t0
-            loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            loss_sum = (float(jnp.sum(jnp.concatenate(
+                [jnp.atleast_1d(l) for l in losses]))) if losses else 0.0)
             host_alpha = jax.tree_util.tree_map(np.asarray, alpha)
             genotype = net.genotype(host_alpha)
             weights = net.genotype_weights(host_alpha)

@@ -111,7 +111,15 @@ def apply_stem(params, cfg, batch, train, rngs):
 
     Returns (x, y, x_mask, y_mask, x_rel, y_rel)."""
     ques_ix = batch["ques_ix"]
-    frcn_feat = batch["frcn_feat"]
+    if "frcn_feat_q" in batch:
+        # SHIP_INT8 path: dequantize in fp32, then drop to the param dtype
+        # (the compute dtype) — int8 values are exact in fp32, so the only
+        # noise is the loader's rounding, bounded by scale/2 per element
+        w_dt = params["imgfeat_linear"]["w"].dtype
+        frcn_feat = (batch["frcn_feat_q"].astype(jnp.float32)
+                     * batch["frcn_scale"][..., None]).astype(w_dt)
+    else:
+        frcn_feat = batch["frcn_feat"]
 
     x_mask = P.make_mask(ques_ix[:, :, None].astype(jnp.float32))
     y_mask = P.make_mask(frcn_feat)

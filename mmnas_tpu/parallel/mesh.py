@@ -64,6 +64,18 @@ def shard_batch(mesh: Mesh, batch):
         batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Place a STACKED chunk of batches [N, B, ...]: the scan axis N stays
+    replicated, the batch axis (dim 1) splits over 'data' (the fused
+    SCAN_STEPS engine mode, engine/search.py make_chunk_step)."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
 def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2):
     """Wrap a host batch iterator: device_put each batch ahead of use so
     H2D transfer overlaps the previous step's compute (the JAX dispatch is

@@ -171,3 +171,56 @@ def test_model_forward_identical_from_batch_pipeline(vqa_root):
     out_b = np.asarray(net.apply(params, batch, train=False))
     out_i = np.asarray(net.apply(params, item_batch, train=False))
     np.testing.assert_allclose(out_b, out_i, rtol=2e-5, atol=2e-6)
+
+
+def test_ship_int8_quantization_bound(vqa_root):
+    """SHIP_INT8 batches: int8 + per-region fp32 scale, dequant error
+    bounded by scale/2 (symmetric rounding), zero rows exactly zero (mask
+    parity with the fp16 path)."""
+    from mmnas_tpu.data.vqa import VqaDataset
+    cfg = _cfg(vqa_root, DEVICE_REL=True, SHIP_INT8=True)
+    ds = VqaDataset(cfg, "train")
+    batch = ds.get_batch(np.arange(8))
+    assert "frcn_feat" not in batch
+    assert batch["frcn_feat_q"].dtype == np.int8
+    assert batch["frcn_scale"].dtype == np.float32
+
+    ref = VqaDataset(_cfg(vqa_root, DEVICE_REL=True), "train").get_batch(
+        np.arange(8))["frcn_feat"].astype(np.float32)
+    deq = (batch["frcn_feat_q"].astype(np.float32)
+           * batch["frcn_scale"][..., None])
+    err = np.abs(deq - ref)
+    bound = np.maximum(batch["frcn_scale"][..., None] / 2, 1e-7) + 1e-6
+    assert (err <= bound).all()
+    # padded rows (zero features) stay exactly zero -> identical make_mask
+    zero_rows = (ref == 0).all(-1)
+    assert (deq[zero_rows] == 0).all()
+
+
+def test_ship_int8_forward_close(vqa_root):
+    """NetFull forward from an int8-shipped batch tracks the fp16-shipped
+    forward within quantization noise."""
+    import jax
+    from mmnas_tpu.data.vqa import VqaDataset
+    from mmnas_tpu.genotype import load_genotype
+    from mmnas_tpu.models.net import NetFull
+
+    cfg = _cfg(vqa_root, DEVICE_REL=True, DTYPE="float32", HSIZE=64)
+    ds = VqaDataset(cfg, "train")
+    idx = np.asarray([0, 5, 9, 13])
+    batch_f = ds.get_batch(idx)
+    ds_q = VqaDataset(cfg.replace(SHIP_INT8=True), "train")
+    batch_q = ds_q.get_batch(idx)
+
+    genotype = load_genotype(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "arch", "mcan.json"))
+    net = NetFull(cfg, genotype, {"token_size": ds.token_size,
+                                  "ans_size": ds.ans_size,
+                                  "pretrained_emb": ds.pretrained_emb},
+                  task="vqa")
+    params = net.init(jax.random.PRNGKey(0))
+    out_f = np.asarray(net.apply(params, batch_f, train=False))
+    out_q = np.asarray(net.apply(params, batch_q, train=False))
+    denom = max(float(np.abs(out_f).max()), 1e-6)
+    assert np.abs(out_q - out_f).max() / denom < 0.05

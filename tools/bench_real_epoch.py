@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--questions", type=int, default=20000)
     ap.add_argument("--dir", default="/tmp/bench_pipeline")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="SHIP_INT8 feature shipping (half the H2D bytes)")
     a = ap.parse_args()
 
     from tools.bench_pipeline import fabricate
@@ -55,6 +57,7 @@ def main():
     cfg = Cfg(TASK="vqa", DATA_ROOT=a.dir, RUN_MODE="train",
               FRCNFEAT_LEN=100, FRCNFEAT_SIZE=2048,
               GLOVE_FEATURE=False, WORD_EMBED_SIZE=300, DEVICE_REL=True,
+              SHIP_INT8=a.int8,
               BATCH_SIZE=a.bs, NUM_WORKERS=a.workers, MAX_EPOCH=a.epochs,
               SEED=44, VERSION="bench_real_epoch", DTYPE="bfloat16",
               CKPT_EVERY=100000, EVAL_EVERY_EPOCH=False)
@@ -86,13 +89,15 @@ def main():
         "scan_train_reference_ex_s": 2561.0,
         "config": {"bs": a.bs, "epochs": a.epochs, "workers": a.workers,
                    "images": a.images, "questions": a.questions,
-                   "device_rel": True, "packed": True,
+                   "device_rel": True, "packed": True, "ship_int8": a.int8,
                    "backend": jax.default_backend(),
                    "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                              time.gmtime())},
     }
     print(json.dumps(rec), flush=True)
-    suffix = "" if jax.default_backend() == "tpu" else f"_{jax.default_backend()}"
+    suffix = "_int8" if a.int8 else ""
+    if jax.default_backend() != "tpu":
+        suffix += f"_{jax.default_backend()}"
     ev = os.path.join(_REPO, "docs", "evidence",
                       f"bench_real_epoch{suffix}.json")
     with open(ev, "w") as f:
