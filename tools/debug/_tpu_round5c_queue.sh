@@ -21,6 +21,7 @@ run() {
   echo "--- exit=$? $(date -u) ---" >> "$LOG"
 }
 run python tools/bench_h2d.py
+run python tools/bench_engine_loop.py --bs 256 --kpath 8 --resident
 run python tools/bench_real_epoch.py --bs 256 --epochs 3 --int8
 run python tools/bench_pipeline.py
 run env BENCH_BS=256 BENCH_KPATH=8 BENCH_TRAIN=0 BENCH_BUDGET_S=7200 python bench.py
