@@ -30,11 +30,13 @@ run() {  # run <deadline_epoch> <cmd...>
 
 D() { date -u -d "today $1" +%s; }
 
-run "$(D 11:50)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
-run "$(D 12:05)" python tools/debug/_xmodal_k1_train_contract.py --arm bad
-run "$(D 12:30)" python tools/debug/_xmodal_k1_train_contract.py --arm merge
-run "$(D 12:00)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
-run "$(D 12:05)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
-run "$(D 12:18)" python tools/bench_h2d.py
-run "$(D 12:20)" python bench.py
+# deadlines sized to "chip idle by ~12:40" (driver benches after ~12:45),
+# with each leg's own runtime bounding the overrun past its deadline
+run "$(D 12:00)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
+run "$(D 12:10)" python tools/debug/_xmodal_k1_train_contract.py --arm bad
+run "$(D 12:40)" python tools/debug/_xmodal_k1_train_contract.py --arm merge
+run "$(D 12:15)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
+run "$(D 12:20)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
+run "$(D 12:32)" python tools/bench_h2d.py
+run "$(D 12:30)" python bench.py
 echo "=== round5g queue done $(date -u) ===" >> "$LOG"
