@@ -98,8 +98,19 @@ def main():
 def merge():
     with open(ARM_PATH.format("searched")) as f:
         searched = json.load(f)
-    with open(ARM_PATH.format("bad")) as f:
-        bad = json.load(f)
+    if os.path.exists(ARM_PATH.format("bad")):
+        with open(ARM_PATH.format("bad")) as f:
+            bad = json.load(f)
+    else:
+        # arm skipped by the queue deadline: the comparison still stands
+        # analytically — the arch is PROVABLY image-blind (bit-identical
+        # logits across images, tests/test_discrimination.py), so its
+        # accuracy is bounded by the corpus's image-blind Bayes ceiling
+        bad = {"value": None, "train_loss_per_example": None,
+               "note": ("train arm skipped by queue deadline; "
+                        "unimodal_dec_none is provably image-blind "
+                        "(tests/test_discrimination.py) so its ceiling is "
+                        "the analytic text_only_ceiling in data_tier")}
     with open(SEARCH_DUMP) as f:
         genotype = json.load(f)[f"epoch{EPOCHS}"]
     with open(os.path.join(DATA_ROOT, "rehearsal_meta.json")) as f:
@@ -116,6 +127,7 @@ def merge():
            "compare_value": bad["value"],
            "compare_train_loss_per_example":
                bad["train_loss_per_example"],
+           **({"compare_note": bad["note"]} if "note" in bad else {}),
            "epochs": EPOCHS,
            "data_tier": meta,
            "train_ex_per_s_int8": {
