@@ -32,11 +32,18 @@ D() { date -u -d "today $1" +%s; }
 
 # deadlines sized to "chip idle by ~12:40" (driver benches after ~12:45),
 # with each leg's own runtime bounding the overrun past its deadline
-run "$(D 12:00)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
+# The trained bad arm is cut for chip time: unimodal_dec_none is PROVABLY
+# image-blind (bit-identical logits across images,
+# tests/test_discrimination.py) so its val accuracy is bounded by the
+# corpus's analytic image-blind ceiling (7.07) no matter how it trains —
+# the merge records that bound as the comparison. The freed ~15 min buys
+# the never-measured VGD/ITM search bench legs (VERDICT #7). The bad arm
+# stays LAST in case everything runs fast.
+run "$(D 12:05)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
+run "$(D 12:12)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
+run "$(D 12:18)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
+run "$(D 12:30)" python tools/bench_h2d.py
 run "$(D 12:10)" python tools/debug/_xmodal_k1_train_contract.py --arm bad
 run "$(D 12:40)" python tools/debug/_xmodal_k1_train_contract.py --arm merge
-run "$(D 12:15)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
-run "$(D 12:20)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=900 python bench.py
-run "$(D 12:32)" python tools/bench_h2d.py
-run "$(D 12:30)" python bench.py
+run "$(D 12:33)" python bench.py
 echo "=== round5g queue done $(date -u) ===" >> "$LOG"
