@@ -135,12 +135,15 @@ def merge():
                "bad": bad["train_ex_per_s"],
            },
            "recovery_note": (
-               "search phase ran 09:18-09:31 UTC inside the original "
-               "one-process contract run (logs/round5d_tpu.log), which "
-               "was OOM-killed at train epoch ~6 by the relay-client "
-               "host-memory growth (dmesg pid 19026, anon-rss 130GB); "
-               "genotype taken from its per-epoch dump, both train arms "
-               "re-run standalone with DEVICE_REL+SHIP_INT8 (identical "
+               "the original one-process contract run (09:18 UTC) was "
+               "OOM-killed at train epoch ~6 by the relay-client "
+               "host-memory growth (dmesg pid 19026, anon-rss 130GB), "
+               "and its untracked genotype dump was then lost to the "
+               "21:23 UTC workspace reset; the search phase was re-run "
+               "standalone post-reset (_xmodal_k1_search_only.py, "
+               "identical cfg to rehearsal.py run_search_vqa(epochs=8) "
+               "plus DEVICE_REL+SHIP_INT8), and every leg runs in its "
+               "own process with DEVICE_REL+SHIP_INT8 (identical "
                "between arms)")}
     if isinstance(searched["value"], (int, float)) and isinstance(
             bad["value"], (int, float)):
