@@ -30,9 +30,9 @@ run() {  # run <deadline_epoch> <cmd...>
 
 D() { date -u -d "today $1" +%s; }
 
-run "$(D 22:22)" python tools/debug/_xmodal_k1_search_only.py
-run "$(D 22:34)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
-run "$(D 22:46)" python tools/debug/_xmodal_k1_train_contract.py --arm merge
-run "$(D 22:42)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=600 python bench.py
-run "$(D 22:46)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=600 python bench.py
+run "$(D 22:28)" python tools/debug/_xmodal_k1_search_only.py
+run "$(D 22:41)" python tools/debug/_xmodal_k1_train_contract.py --arm searched
+run "$(D 22:53)" python tools/debug/_xmodal_k1_train_contract.py --arm merge
+run "$(D 22:48)" env BENCH_TASK=vgd BENCH_TRAIN=0 BENCH_BUDGET_S=600 python bench.py
+run "$(D 22:50)" env BENCH_TASK=itm BENCH_TRAIN=0 BENCH_BUDGET_S=600 python bench.py
 echo "=== round5h queue done $(date -u) ===" >> "$LOG"
