@@ -155,6 +155,50 @@ def _budget_left():
     return BENCH_BUDGET_S - (time.perf_counter() - T_START)
 
 
+# The axon relay can wedge SPONTANEOUSLY (observed twice on 2026-08-20:
+# ~07:40 and ~22:16 UTC — a futex device-wait with zero CPU advance where
+# even an 8x8 matmul never completes, lasting 20-60+ min). A driver bench
+# that starts wedged produces rc=timeout/parsed=null — the round-4 failure
+# mode, with nothing the measurement code can do about it EXCEPT say so.
+# Watchdog: a daemon thread runs a tiny op; a second daemon waits
+# BENCH_WEDGE_TIMEOUT_S and, iff the tiny op ALSO never completed and no
+# real measurement has been emitted, prints an honest infra-failure JSON
+# record (value null, error field) so the official record distinguishes
+# "relay down" from "framework has no number". A healthy-but-slow compile
+# completes the tiny op in seconds, so the watchdog stays silent for it.
+_PROBE_OK = False
+_STDOUT_USED = False
+BENCH_WEDGE_TIMEOUT_S = float(os.environ.get("BENCH_WEDGE_TIMEOUT_S", "780"))
+
+
+def _start_wedge_watchdog():
+    import threading
+
+    def probe():
+        global _PROBE_OK
+        import jax.numpy as jnp
+        float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+        _PROBE_OK = True
+
+    def watch():
+        global _STDOUT_USED
+        time.sleep(BENCH_WEDGE_TIMEOUT_S)
+        if not _PROBE_OK and not _STDOUT_USED:
+            _STDOUT_USED = True
+            print(json.dumps({
+                "metric": "vqa_search_examples_per_sec_per_chip",
+                "value": None, "unit": "examples/s", "vs_baseline": None,
+                "error": (f"axon relay wedged: an 8x8-matmul probe did not "
+                          f"complete in {BENCH_WEDGE_TIMEOUT_S:.0f}s (known "
+                          f"spontaneous relay failure mode, CLAUDE.md "
+                          f"'Environment gotchas'); last tracked real-chip "
+                          f"measurement: docs/evidence/bench_default.json"),
+            }), flush=True)
+
+    threading.Thread(target=probe, daemon=True).start()
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def _load_timings():
     try:
         with open(TIMING_PATH) as f:
@@ -264,7 +308,9 @@ def emit(record, stdout=True):
     post-train combined record must not add a second one."""
     import jax
 
-    if stdout:
+    global _STDOUT_USED
+    if stdout and not _STDOUT_USED:
+        _STDOUT_USED = True
         print(json.dumps(record), flush=True)
     ev_dir = os.path.join(REPO, "docs", "evidence")
     os.makedirs(ev_dir, exist_ok=True)
@@ -454,6 +500,8 @@ def main():
         # so CPU must be forced via config after import (CLAUDE.md)
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _start_wedge_watchdog()
     _setup_cache()
 
     if not BENCH_SEARCH:
