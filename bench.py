@@ -210,7 +210,12 @@ def _load_timings():
 def _record_timing(leg, secs):
     """Record a completed leg's total wall (compile+2 scans) so the NEXT
     run (e.g. the driver's) can budget-gate with a measured number. With
-    the persistent compile cache enabled this is the warm-run time."""
+    the persistent compile cache enabled this is the warm-run time.
+    TPU-only: a BENCH_CPU debug run's wall times would corrupt the
+    ledger the driver budgets real-chip legs with."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return
     t = _load_timings()
     t[leg] = round(secs, 1)
     t["_note"] = ("total leg wall secs (compile+warmup scan+timed scan), "
